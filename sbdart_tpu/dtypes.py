@@ -1,0 +1,33 @@
+"""Dtype policy.
+
+The reference is single-precision Fortran (f77 REAL).  On TPU, f64 is
+software-emulated and slow, while f32 (with f32 accumulation on the VPU and
+MXU) is the native fast path.  Policy:
+
+  - tests / CPU golden comparisons: float64 (beats the f32 Fortran reference
+    on accuracy, so the rtol 1e-5 parity gate is comfortable),
+  - TPU production runs: float32 by default (validated against the f64 path
+    in tests/test_solver_battery.py::test_f32_matches_f64),
+  - overridable via `SBDART_TPU_DTYPE=float32|float64` or per-call.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def default_dtype() -> jnp.dtype:
+    env = os.environ.get("SBDART_TPU_DTYPE")
+    if env:
+        return jnp.dtype(env)
+    platform = jax.default_backend()
+    if platform in ("cpu",):
+        return jnp.dtype(jnp.float64)
+    return jnp.dtype(jnp.float32)
+
+
+def finfo_eps(dtype) -> float:
+    return float(jnp.finfo(dtype).eps)
