@@ -46,7 +46,10 @@ def apply_deltam(
       deltam: disable to pass through (reference `deltam` namelist flag).
     """
     nmom = pmom.shape[-1]
-    ssalb = jnp.clip(ssalb, 0.0, 1.0 - SSALB_DITHER)
+    # Conservative-scattering dither, scaled to precision: the eigenproblem is
+    # singular at w0 == 1 (disort.f:SETDIS dithers the same way).
+    dither = max(SSALB_DITHER, 100.0 * float(jnp.finfo(jnp.result_type(ssalb)).eps))
+    ssalb = jnp.clip(ssalb, 0.0, 1.0 - dither)
     if not deltam or nmom <= nstr:
         gl = pmom[..., :nstr]
         if gl.shape[-1] < nstr:
@@ -59,6 +62,6 @@ def apply_deltam(
     wf = ssalb * f
     dtau_s = (1.0 - wf) * dtau
     ssalb_s = ssalb * (1.0 - f) / (1.0 - wf)
-    ssalb_s = jnp.clip(ssalb_s, 0.0, 1.0 - SSALB_DITHER)
+    ssalb_s = jnp.clip(ssalb_s, 0.0, 1.0 - dither)
     gl = (pmom[..., :nstr] - f[..., None]) / (1.0 - f[..., None])
     return DeltaMResult(dtau_s, ssalb_s, gl, f, dtau)

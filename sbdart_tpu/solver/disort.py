@@ -1,0 +1,171 @@
+"""solve_rte — the monochromatic discrete-ordinates solve.
+
+The TPU-native equivalent of one disort.f:DISORT call (SURVEY.md section 3.2
+documents the reference signature).  Differences by design:
+
+  * fully batched: every input may carry arbitrary leading batch dims
+    (column, band, k-term, solar angle, ...) and the whole solve is one
+    traced graph of batched tensor ops — no per-layer or per-mode loops on
+    the host;
+  * all azimuth Fourier modes are computed branchlessly (the reference's
+    data-dependent `accur` early-exit is replaced by a static mode count:
+    1 for flux-only runs, nstr for radiance runs — cheap on TPU, removes
+    data-dependent control flow);
+  * the general eigensolve (ASYMTX) is replaced by a symmetrized batched
+    eigh (eig.py), the banded LU (SOLVE0) by a block-tridiagonal scan
+    (bvp.py);
+  * degenerate/singular regimes (conservative scattering, zero-depth layers)
+    are handled by dithering, exactly as the reference does, keeping the
+    computation branch-free.
+
+Outputs at ALL layer boundaries (the pipeline interpolates user levels).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sbdart_tpu.solver import bvp as bvp_mod
+from sbdart_tpu.solver import fields as fields_mod
+from sbdart_tpu.solver.deltam import apply_deltam
+from sbdart_tpu.solver.eig import angular_tables, solve_eigen
+from sbdart_tpu.solver.planck import planck_band
+from sbdart_tpu.solver.sources import beam_particular, thermal_particular
+
+
+class RteOutputs(NamedTuple):
+    rfldir: jnp.ndarray    # [..., L+1] direct flux (unscaled)
+    rfldn: jnp.ndarray     # [..., L+1] diffuse down flux
+    flup: jnp.ndarray      # [..., L+1] diffuse up flux
+    dfdt: jnp.ndarray      # [..., L+1] flux divergence
+    uavg: jnp.ndarray      # [..., L+1] mean intensity
+    uu: jnp.ndarray | None  # [..., L+1, numu, nphi] radiances (None if onlyfl)
+
+
+def solve_rte(
+    dtauc: jnp.ndarray,          # [..., L]
+    ssalb: jnp.ndarray,          # [..., L]
+    pmom: jnp.ndarray,           # [..., L, nmom]
+    *,
+    nstr: int,
+    fbeam: jnp.ndarray | float = 0.0,     # [...]
+    umu0: jnp.ndarray | float = 1.0,
+    phi0: jnp.ndarray | float = 0.0,
+    fisot: jnp.ndarray | float = 0.0,
+    albedo: jnp.ndarray | float = 0.0,
+    planck: bool = False,
+    temper: jnp.ndarray | None = None,    # [..., L+1]
+    wvnlo: jnp.ndarray | float = 0.0,
+    wvnhi: jnp.ndarray | float = 0.0,
+    btemp: jnp.ndarray | float = 0.0,
+    ttemp: jnp.ndarray | float = 0.0,
+    temis: jnp.ndarray | float = 0.0,
+    deltam: bool = True,
+    onlyfl: bool = True,
+    umu: jnp.ndarray | None = None,       # [numu] user view cosines (+-)
+    phi: jnp.ndarray | None = None,       # [nphi] user azimuths [deg]
+    corint: bool = True,
+    dtype=None,
+    eig_method: str = "auto",
+) -> RteOutputs:
+    if dtype is None:
+        from sbdart_tpu.dtypes import default_dtype
+        dtype = default_dtype()
+
+    dtauc = jnp.asarray(dtauc, dtype)
+    ssalb_in = jnp.asarray(ssalb, dtype)
+    pmom = jnp.asarray(pmom, dtype)
+    nlyr = dtauc.shape[-1]
+    batch = jnp.broadcast_shapes(
+        dtauc.shape[:-1],
+        jnp.shape(jnp.asarray(fbeam)),
+        jnp.shape(jnp.asarray(albedo)),
+    )
+    fbeam = jnp.broadcast_to(jnp.asarray(fbeam, dtype), batch)
+    umu0 = jnp.broadcast_to(jnp.asarray(umu0, dtype), batch)
+    phi0 = jnp.broadcast_to(jnp.asarray(phi0, dtype), batch)
+    fisot = jnp.broadcast_to(jnp.asarray(fisot, dtype), batch)
+    albedo = jnp.broadcast_to(jnp.asarray(albedo, dtype), batch)
+    dtauc = jnp.broadcast_to(dtauc, batch + (nlyr,))
+    ssalb_in = jnp.broadcast_to(ssalb_in, batch + (nlyr,))
+    pmom = jnp.broadcast_to(pmom, batch + pmom.shape[-2:])
+
+    nmode = 1 if onlyfl else nstr
+    tab = angular_tables(nstr, nmode)
+
+    # --- optical property scaling (SETDIS equivalent) ----------------------
+    dm = apply_deltam(dtauc, ssalb_in, pmom, nstr, deltam)
+    tau_s = jnp.cumsum(dm.dtau, axis=-1)
+    tau_s = jnp.concatenate([jnp.zeros_like(tau_s[..., :1]), tau_s], axis=-1)
+    tau_u = jnp.cumsum(dm.dtau_unscaled, axis=-1)
+    tau_u = jnp.concatenate([jnp.zeros_like(tau_u[..., :1]), tau_u], axis=-1)
+
+    has_beam = fbeam > 0.0
+    mu0 = jnp.where(has_beam, jnp.abs(umu0), 0.5)
+    expbea_s = jnp.where(has_beam[..., None], jnp.exp(-tau_s / mu0[..., None]), 0.0)
+    expbea_u = jnp.where(has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0)
+
+    # --- homogeneous + particular solutions --------------------------------
+    eig = solve_eigen(dm.ssalb, dm.gl, tab, dtype, eig_method=eig_method)
+    beam = beam_particular(
+        eig.cpp, eig.cpm, dm.ssalb, dm.gl, fbeam, mu0, tab, dtype
+    )
+
+    thermal = None
+    b_level = None
+    top_emission = jnp.zeros(batch, dtype)
+    surf_emission = jnp.zeros(batch, dtype)
+    if planck:
+        assert temper is not None, "planck=True requires temper"
+        temper = jnp.broadcast_to(jnp.asarray(temper, dtype), batch + (nlyr + 1,))
+        b_level = planck_band(wvnlo, wvnhi, temper).astype(dtype)
+        b_level = jnp.broadcast_to(b_level, batch + (nlyr + 1,))
+        thermal = thermal_particular(
+            eig.cpp[..., 0, :, :, :], eig.cpm[..., 0, :, :, :],
+            dm.ssalb, dm.dtau, b_level, tab, dtype,
+        )
+        btemp_eff = jnp.where(jnp.asarray(btemp, dtype) > 0, btemp, temper[..., -1])
+        ttemp_eff = jnp.where(jnp.asarray(ttemp, dtype) > 0, ttemp, temper[..., 0])
+        surf_emission = (
+            (1.0 - albedo) * planck_band(wvnlo, wvnhi, btemp_eff).astype(dtype)
+        )
+        top_emission = (
+            jnp.asarray(temis, dtype)
+            * planck_band(wvnlo, wvnhi, ttemp_eff).astype(dtype)
+        ) * jnp.ones(batch, dtype)
+        surf_emission = surf_emission * jnp.ones(batch, dtype)
+
+    part = bvp_mod.particular_at_bounds(beam, thermal, expbea_s, dm.dtau, nmode)
+
+    beam_surf = (
+        (albedo / jnp.pi) * mu0 * jnp.where(has_beam, fbeam, 0.0)
+        * expbea_s[..., -1]
+    )
+    sol = bvp_mod.solve_bvp(
+        eig, part, dm.dtau, albedo, fisot, top_emission, surf_emission,
+        beam_surf, tab, dtype,
+    )
+    bounds = bvp_mod.intensity_at_boundaries(eig, sol, part, dm.dtau)
+
+    fx = fields_mod.fluxes(
+        bounds, tab, fbeam, mu0, expbea_s, expbea_u, ssalb_in,
+        b_level, dtype,
+    )
+
+    uu = None
+    if not onlyfl and umu is not None:
+        from sbdart_tpu.solver.radiance import compute_radiances
+
+        uu = compute_radiances(
+            eig=eig, sol=sol, beam=beam, thermal=thermal, dm=dm,
+            tau_s=tau_s, expbea_s=expbea_s, tab=tab,
+            fbeam=fbeam, mu0=mu0, phi0=phi0, fisot=fisot, albedo=albedo,
+            top_emission=top_emission, surf_emission=surf_emission,
+            bounds=bounds, pmom_unscaled=pmom,
+            umu=jnp.asarray(umu, dtype), phi=jnp.asarray(phi, dtype),
+            corint=corint, dtype=dtype,
+        )
+
+    return RteOutputs(fx.rfldir, fx.rfldn, fx.flup, fx.dfdt, fx.uavg, uu)

@@ -1,0 +1,129 @@
+"""Per-layer homogeneous solutions of the discrete-ordinates RTE.
+
+Replaces disort.f:SOLEIG + ASYMTX.  For azimuth mode m the homogeneous
+solutions I = G(+-mu_i) exp(-+ k tau) are found from the reduced (N x N,
+N = nstr/2) eigenproblem (Stamnes & Swanson 1981):
+
+    k^2 X = (alpha + beta)(alpha - beta) X
+    alpha - beta = M^-1 (I - C_odd  W)        (even-parity scattering sum)
+    alpha + beta = M^-1 (I - C_even W)
+
+with M = diag(mu), W = diag(w) and C the hemispherically folded scattering
+matrices.  The reference solves this with ASYMTX, a general balanced-QR
+eigensolver (EISPACK lineage) — a sequential, pivoting algorithm that maps
+terribly to TPUs.  Here we exploit that the congruence P = diag(sqrt(mu w))
+makes both factors symmetric:
+
+    S_minus = P (alpha - beta) P^-1   (SPD for w0 < 1)
+    S_plus  = P (alpha + beta) P^-1
+
+so with the Cholesky factor S_minus = L L^T the matrix L^T S_plus L is
+symmetric with the same eigenvalues k^2, and a *batched symmetric* eigensolve
+(ops.eigh_small — Jacobi sweeps on TPU) does the work of ASYMTX with
+guaranteed-real results and full batching over (batch, mode, layer).
+
+All arrays carry leading batch dims [..., nmode, L]; matrices are [..., N, N].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sbdart_tpu.ops import cholesky_small, eigh_small, gauss_solve
+from sbdart_tpu.solver.legendre import legendre_assoc_norm
+from sbdart_tpu.solver.quadrature import double_gauss
+
+
+class AngularTables(NamedTuple):
+    """Static (trace-time) angular discretization tables."""
+    mu: np.ndarray        # [N] quadrature cosines (> 0)
+    w: np.ndarray         # [N] quadrature weights
+    ylm: np.ndarray       # [nmode, nstr, N]  Lam_l^m(mu_i), 0 for l < m
+    parity: np.ndarray    # [nmode, nstr]     (-1)^(l-m)
+    twol1: np.ndarray     # [nstr]            (2l+1)
+
+
+def angular_tables(nstr: int, nmode: int) -> AngularTables:
+    mu, w = double_gauss(nstr)
+    ylm = legendre_assoc_norm(mu, nstr, nmode)
+    l = np.arange(nstr)
+    m = np.arange(nmode)[:, None]
+    parity = np.where(l[None, :] >= m, (-1.0) ** (l[None, :] - m), 0.0)
+    return AngularTables(mu, w, ylm, parity, 2.0 * l + 1.0)
+
+
+class EigResult(NamedTuple):
+    kk: jnp.ndarray   # [..., nmode, L, N]    eigenvalues k_j > 0
+    gp: jnp.ndarray   # [..., nmode, L, N, N] G at +mu_i (row i) for mode j (col)
+    gm: jnp.ndarray   # [..., nmode, L, N, N] G at -mu_i
+    cpp: jnp.ndarray  # [..., nmode, L, N, N] same-hemisphere scatter matrix C^pp
+    cpm: jnp.ndarray  # [..., nmode, L, N, N] cross-hemisphere C^pm
+
+
+def scattering_matrices(ssalb, gl, tab: AngularTables, dtype):
+    """C^pp, C^pm: hemispherically folded scattering matrices per mode.
+
+    ssalb: [..., L]; gl: [..., L, nstr] delta-M scaled moments.
+    Returns arrays [..., nmode, L, N, N].
+    """
+    ylm = jnp.asarray(tab.ylm, dtype)          # [M, nstr, N]
+    parity = jnp.asarray(tab.parity, dtype)    # [M, nstr]
+    twol1 = jnp.asarray(tab.twol1, dtype)      # [nstr]
+    # coefficient c_l = (w0/2) (2l+1) g_l  -> [..., 1, L, nstr]
+    c = 0.5 * ssalb[..., None] * twol1 * gl
+    c = c[..., None, :, :]                     # add mode axis
+    # C^pp_ij = sum_l c_l Y_l(mu_i) Y_l(mu_j)
+    cpp = jnp.einsum("...mLl,mli,mlj->...mLij", c, ylm, ylm)
+    cpm = jnp.einsum("...mLl,ml,mli,mlj->...mLij", c, parity, ylm, ylm)
+    return cpp, cpm
+
+
+def solve_eigen(
+    ssalb: jnp.ndarray,
+    gl: jnp.ndarray,
+    tab: AngularTables,
+    dtype,
+    eig_method: str = "auto",
+) -> EigResult:
+    """Solve the per-layer homogeneous problem for all azimuth modes.
+
+    Args:
+      ssalb: [..., L] delta-M scaled single-scatter albedo (dithered < 1).
+      gl: [..., L, nstr] delta-M scaled phase moments.
+      tab: angular tables for (nstr, nmode).
+    """
+    n = tab.mu.shape[0]
+    mu = jnp.asarray(tab.mu, dtype)
+    w = jnp.asarray(tab.w, dtype)
+    cpp, cpm = scattering_matrices(ssalb, gl, tab, dtype)
+
+    eye = jnp.eye(n, dtype=dtype)
+    inv_mu = (1.0 / mu)[:, None]               # column scaling M^-1
+    # alpha - beta = M^-1 (I - (C^pp + C^pm) W)
+    amb = inv_mu * (eye - (cpp + cpm) * w)     # [..., m, L, N, N]
+    apb = inv_mu * (eye - (cpp - cpm) * w)
+    # congruence to symmetric form
+    p = jnp.sqrt(mu * w)
+    s_minus = p[:, None] * amb / p[None, :]
+    s_plus = p[:, None] * apb / p[None, :]
+    # symmetrize explicitly against roundoff
+    s_minus = 0.5 * (s_minus + jnp.swapaxes(s_minus, -1, -2))
+    s_plus = 0.5 * (s_plus + jnp.swapaxes(s_plus, -1, -2))
+
+    l = cholesky_small(s_minus)                      # S_minus = L L^T
+    lt_sp_l = jnp.swapaxes(l, -1, -2) @ s_plus @ l   # symmetric, eigvals k^2
+    lt_sp_l = 0.5 * (lt_sp_l + jnp.swapaxes(lt_sp_l, -1, -2))
+    k2, v = eigh_small(lt_sp_l, method=eig_method)
+    kk = jnp.sqrt(jnp.maximum(k2, 1e-30))            # [..., m, L, N]
+
+    # X = P^-1 L^-T V ;  Y = -(1/k) (alpha - beta) X
+    lt = jnp.swapaxes(l, -1, -2)
+    z = gauss_solve(lt, v)                           # L^-T V
+    x = z / p[:, None]
+    y = -(amb @ x) / kk[..., None, :]
+    gp = 0.5 * (x + y)                               # value at +mu_i, e^{-k tau}
+    gm = 0.5 * (x - y)                               # value at -mu_i
+    return EigResult(kk, gp, gm, cpp, cpm)

@@ -8,9 +8,16 @@ multi-chip validation strategy.  Must set env before jax import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness exports JAX_PLATFORMS=axon (remote TPU compiles —
+# per-op dispatch there is seconds each), so setdefault is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon plugin ignores the JAX_PLATFORMS env var; force via config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
