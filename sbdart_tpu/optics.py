@@ -1,0 +1,80 @@
+"""Combine per-process optical properties into solver inputs.
+
+The L3 -> L2 contract of the reference (SURVEY.md section 2): per
+(wavelength, k-term, layer) total optical depth DTAUC, single-scatter albedo
+SSALB and phase moments PMOM assembled from Rayleigh + gas + cloud +
+aerosol, exactly as sbdart.f does before each DISORT call — but as whole
+spectral tensors, not one wavelength at a time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from sbdart_tpu.aerosols import aerosol_optical_properties
+from sbdart_tpu.atmosphere import Profile
+from sbdart_tpu.clouds import cloud_optical_properties
+from sbdart_tpu.config import Config
+from sbdart_tpu.gas import gas_optical_depth
+from sbdart_tpu.rayleigh import rayleigh_layer_tau, rayleigh_moments
+
+
+class OpticalDeck(NamedTuple):
+    """Solver-ready optical properties for the whole spectral grid."""
+    wl: np.ndarray      # [nwl] um
+    dtau: np.ndarray    # [nwl, nk, nlyr]
+    ssalb: np.ndarray   # [nwl, nk, nlyr]
+    pmom: np.ndarray    # [nwl, nlyr, nmom]  (k-independent: gas is pure abs)
+    wk: np.ndarray      # [nwl, nk] k-distribution weights
+    tau_ray: np.ndarray  # [nwl, nlyr] (diagnostics)
+    tau_gas: np.ndarray  # [nwl, nk, nlyr]
+    tau_cld: np.ndarray  # [nwl, nlyr]
+    tau_aer: np.ndarray  # [nwl, nlyr]
+
+
+def build_optical_deck(
+    profile: Profile,
+    cfg: Config,
+    wl: np.ndarray,
+    nmom: int,
+    usrcld: np.ndarray | None = None,
+    aer_table=None,
+) -> OpticalDeck:
+    wl = np.atleast_1d(np.asarray(wl, np.float64))
+    nwl, nlyr = wl.shape[0], profile.nlyr
+
+    # Rayleigh (pbar == 0 disables it — reference convention)
+    if cfg.pbar == 0.0:
+        tau_r = np.zeros((nwl, nlyr))
+    else:
+        tau_r = rayleigh_layer_tau(wl, profile.p, cfg.xrsc)
+
+    tau_g, wk = gas_optical_depth(profile, cfg, wl)       # [nwl, nk, nlyr]
+    tau_c, w0_c, g_c = cloud_optical_properties(profile, cfg, wl, usrcld)
+    tau_a, w0_a, g_a = aerosol_optical_properties(profile, cfg, wl, aer_table)
+
+    nk = tau_g.shape[1]
+    dtau = tau_r[:, None, :] + tau_g + (tau_c + tau_a)[:, None, :]
+    scat_r = tau_r
+    scat_c = w0_c * tau_c
+    scat_a = w0_a * tau_a
+    scat = scat_r + scat_c + scat_a                        # [nwl, nlyr]
+    ssalb = scat[:, None, :] / np.maximum(dtau, 1e-30)
+    ssalb = np.clip(ssalb, 0.0, 1.0)
+
+    # phase moments: Rayleigh exact + HG for cloud & aerosol
+    lidx = np.arange(nmom)
+    mom_r = rayleigh_moments(nmom)                         # [nmom]
+    mom_c = g_c[..., None] ** lidx                         # [nwl, nlyr, nmom]
+    mom_a = g_a[..., None] ** lidx
+    num = (
+        scat_r[..., None] * mom_r
+        + scat_c[..., None] * mom_c
+        + scat_a[..., None] * mom_a
+    )
+    pmom = num / np.maximum(scat[..., None], 1e-30)
+    pmom[..., 0] = 1.0
+
+    return OpticalDeck(wl, dtau, ssalb, pmom, wk, tau_r, tau_g, tau_c, tau_a)

@@ -1,0 +1,162 @@
+"""Result post-processing and `iout` text writers.
+
+Replaces the output stages of sbdart.f (SURVEY.md appendix A2): spectral
+integration, the zout level selection, heating-rate profiles, and the text
+formats keyed by `iout`.  Formats follow the documented field orders; exact
+Fortran column widths are provisional until the reference is readable
+(SURVEY.md section 8.6 re-verification checklist).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from sbdart_tpu.constants import GRAVITY
+from sbdart_tpu.pipeline import SpectralResult
+
+CP_AIR = 1004.0  # J/(kg K)
+
+
+# --------------------------------------------------------------------------
+# derived quantities
+# --------------------------------------------------------------------------
+
+def integrate_spectral(res: SpectralResult, field: np.ndarray) -> np.ndarray:
+    """Filter-weighted spectral integral over the wavelength grid."""
+    w = res.filt * res.dwl
+    return np.einsum("w,w...->...", w, field)
+
+
+def summary_fluxes(res: SpectralResult) -> dict:
+    """topdn/topup/topdir/botdn/botup/botdir per wavelength at zout levels."""
+    bot = res.level_index(res.cfg.zout[0])
+    top = res.level_index(res.cfg.zout[1])
+    ftot_dn = res.fdir + res.fdn
+    return {
+        "topdn": ftot_dn[:, top],
+        "topup": res.fup[:, top],
+        "topdir": res.fdir[:, top],
+        "botdn": ftot_dn[:, bot],
+        "botup": res.fup[:, bot],
+        "botdir": res.fdir[:, bot],
+        "lev_top": top,
+        "lev_bot": bot,
+    }
+
+
+def heating_rates(res: SpectralResult) -> tuple[np.ndarray, np.ndarray]:
+    """(dfdz [W/m^2/km], heat [K/day]) per layer from integrated fluxes."""
+    fnet = integrate_spectral(res, res.fdir + res.fdn - res.fup)   # [nlev]
+    z = res.profile.z
+    p = res.profile.p
+    t = res.profile.t
+    dz = -(np.diff(z))                                              # km
+    dfnet = fnet[:-1] - fnet[1:]   # absorbed per layer (TOA-first): F(top)-F(bot)
+    dfdz = dfnet / np.maximum(dz, 1e-9)
+    # layer air density kg/m^3
+    pl = 0.5 * (p[:-1] + p[1:]) * 100.0
+    tl = 0.5 * (t[:-1] + t[1:])
+    rho = pl / (287.05 * tl)
+    heat = dfdz / 1000.0 / (rho * CP_AIR) * 86400.0                 # K/day
+    return dfdz, heat
+
+
+# --------------------------------------------------------------------------
+# iout writers
+# --------------------------------------------------------------------------
+
+def _fmt_row(vals, fmt="{:>12.5g}") -> str:
+    return " ".join(fmt.format(float(v)) for v in vals)
+
+
+def _radiance_block(res: SpectralResult, lev: int, wi=None) -> str:
+    """nphi/nzen header, phi row, then rows of uzen, uu(phi...)."""
+    out = io.StringIO()
+    uz = np.rad2deg(np.arccos(np.clip(res.umu, -1, 1)))
+    if wi is None:
+        uu = integrate_spectral(res, res.uu)[lev]       # [numu, nphi]
+    else:
+        uu = res.uu[wi, lev]
+    nphi = uu.shape[1]
+    out.write(f"{nphi:4d} {len(uz):4d}\n")
+    out.write(_fmt_row(res.phi) + "\n")
+    for i in range(len(uz)):
+        out.write(_fmt_row([uz[i]] + list(uu[i])) + "\n")
+    return out.getvalue()
+
+
+def format_iout(res: SpectralResult) -> str:
+    """Render the run's stdout for its `iout` selector."""
+    cfg = res.cfg
+    s = summary_fluxes(res)
+    out = io.StringIO()
+    iout = cfg.iout
+
+    if iout in (1, 5, 6):
+        out.write('"tbf\n')  # block header marker (reference-style tag line)
+        for i, wl in enumerate(res.wl):
+            out.write(
+                _fmt_row([
+                    wl, res.fbeam_toa[i], s["topdn"][i], s["topup"][i],
+                    s["topdir"][i], s["botdn"][i], s["botup"][i], s["botdir"][i],
+                ]) + "\n"
+            )
+            if iout in (5, 6) and res.uu is not None:
+                lev = s["lev_top"] if iout == 6 else s["lev_bot"]
+                out.write(_radiance_block(res, lev, wi=i))
+        return out.getvalue()
+
+    if iout == 7:
+        for i, wl in enumerate(res.wl):
+            out.write(f"{wl:12.5g}  {res.nlev:4d}\n")
+            for v in range(res.nlev):
+                fdird = res.fdir[i, v]
+                fdifd = res.fdn[i, v]
+                out.write(
+                    _fmt_row([
+                        res.profile.z[v], fdird, fdifd, fdird + fdifd,
+                        res.fup[i, v],
+                    ]) + "\n"
+                )
+        return out.getvalue()
+
+    if iout in (10, 20, 21):
+        ffew = float(np.sum(res.fbeam_toa * res.dwl))
+        vals = [
+            cfg.wlinf, cfg.wlsup, ffew,
+            integrate_spectral(res, s["topdn"]),
+            integrate_spectral(res, s["topup"]),
+            integrate_spectral(res, s["topdir"]),
+            integrate_spectral(res, s["botdn"]),
+            integrate_spectral(res, s["botup"]),
+            integrate_spectral(res, s["botdir"]),
+        ]
+        out.write(_fmt_row(vals) + "\n")
+        if iout in (20, 21) and res.uu is not None:
+            lev = s["lev_top"] if iout == 20 else s["lev_bot"]
+            out.write(_radiance_block(res, lev))
+        return out.getvalue()
+
+    if iout in (11, 22):
+        fxdn = integrate_spectral(res, res.fdir + res.fdn)
+        fxup = integrate_spectral(res, res.fup)
+        fxdir = integrate_spectral(res, res.fdir)
+        dfdz, heat = heating_rates(res)
+        out.write(f"{res.nlev:4d}\n")
+        for v in range(res.nlev):
+            hv = heat[min(v, res.nlev - 2)]
+            dv = dfdz[min(v, res.nlev - 2)]
+            out.write(
+                _fmt_row([
+                    res.profile.z[v], res.profile.p[v], fxdn[v], fxup[v],
+                    fxdir[v], dv, hv,
+                ]) + "\n"
+            )
+        if iout == 22 and res.uu is not None:
+            for v in range(res.nlev):
+                out.write(_radiance_block(res, v))
+        return out.getvalue()
+
+    raise ValueError(f"unsupported iout={iout}")

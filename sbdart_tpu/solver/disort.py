@@ -120,22 +120,26 @@ def solve_rte(
     if planck:
         assert temper is not None, "planck=True requires temper"
         temper = jnp.broadcast_to(jnp.asarray(temper, dtype), batch + (nlyr + 1,))
-        b_level = planck_band(wvnlo, wvnhi, temper).astype(dtype)
-        b_level = jnp.broadcast_to(b_level, batch + (nlyr + 1,))
+        wvnlo_b = jnp.broadcast_to(jnp.asarray(wvnlo, dtype), batch)
+        wvnhi_b = jnp.broadcast_to(jnp.asarray(wvnhi, dtype), batch)
+        b_level = planck_band(
+            wvnlo_b[..., None], wvnhi_b[..., None], temper
+        ).astype(dtype)
         thermal = thermal_particular(
             eig.cpp[..., 0, :, :, :], eig.cpm[..., 0, :, :, :],
             dm.ssalb, dm.dtau, b_level, tab, dtype,
         )
-        btemp_eff = jnp.where(jnp.asarray(btemp, dtype) > 0, btemp, temper[..., -1])
-        ttemp_eff = jnp.where(jnp.asarray(ttemp, dtype) > 0, ttemp, temper[..., 0])
+        btemp_b = jnp.broadcast_to(jnp.asarray(btemp, dtype), batch)
+        ttemp_b = jnp.broadcast_to(jnp.asarray(ttemp, dtype), batch)
+        btemp_eff = jnp.where(btemp_b > 0, btemp_b, temper[..., -1])
+        ttemp_eff = jnp.where(ttemp_b > 0, ttemp_b, temper[..., 0])
         surf_emission = (
-            (1.0 - albedo) * planck_band(wvnlo, wvnhi, btemp_eff).astype(dtype)
+            (1.0 - albedo) * planck_band(wvnlo_b, wvnhi_b, btemp_eff).astype(dtype)
         )
         top_emission = (
-            jnp.asarray(temis, dtype)
-            * planck_band(wvnlo, wvnhi, ttemp_eff).astype(dtype)
-        ) * jnp.ones(batch, dtype)
-        surf_emission = surf_emission * jnp.ones(batch, dtype)
+            jnp.broadcast_to(jnp.asarray(temis, dtype), batch)
+            * planck_band(wvnlo_b, wvnhi_b, ttemp_eff).astype(dtype)
+        )
 
     part = bvp_mod.particular_at_bounds(beam, thermal, expbea_s, dm.dtau, nmode)
 
@@ -156,6 +160,8 @@ def solve_rte(
 
     uu = None
     if not onlyfl and umu is not None:
+        import numpy as np
+
         from sbdart_tpu.solver.radiance import compute_radiances
 
         uu = compute_radiances(
@@ -164,7 +170,7 @@ def solve_rte(
             fbeam=fbeam, mu0=mu0, phi0=phi0, fisot=fisot, albedo=albedo,
             top_emission=top_emission, surf_emission=surf_emission,
             bounds=bounds, pmom_unscaled=pmom,
-            umu=jnp.asarray(umu, dtype), phi=jnp.asarray(phi, dtype),
+            umu=np.asarray(umu, np.float64), phi=np.asarray(phi, np.float64),
             corint=corint, dtype=dtype,
         )
 

@@ -373,10 +373,9 @@ def _tms_correction(
         uB = u_abs[:, None]                               # [U, 1(P)]
         e_lay = jnp.exp(-dtau_b / uB)                     # [..., L, U, P]
         if downward:
-            integ = _int_away(inv_mu0, dtau_b[..., None, :, :, :][..., 0, :, :, :], uB) \
-                if False else _int_away(inv_mu0[..., 0], dtau_b, uB)
+            integ = _int_away(inv_mu0, dtau_b, uB)
         else:
-            integ = _int_toward(inv_mu0[..., 0], dtau_b, uB)
+            integ = _int_toward(inv_mu0, dtau_b, uB)
         j_lay = src[..., idx, :] * eb_top * integ
         start = jnp.zeros(j_lay.shape[:-3] + j_lay.shape[-2:], dtype)
         j_s = jnp.moveaxis(j_lay, -3, 0)
