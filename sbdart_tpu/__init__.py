@@ -39,6 +39,14 @@ import jax as _jax
 # runs f32 by default (see sbdart_tpu.dtypes).
 _jax.config.update("jax_enable_x64", True)
 
+# TPU MXU matmuls default to bfloat16 passes; the solver's small-matrix
+# algebra (symmetrized eigensolve, Cholesky, BVP blocks) cancels to ~1e-5
+# of the operand scale, which bf16 noise (~1e-3) destroys — near-singular
+# Cholesky blocks and NaN eigenvectors.  Full f32 matmul precision costs
+# little here (tiny matrices; the hot path is VPU-bound) and restores the
+# f32 accuracy budget.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
 
 from sbdart_tpu.config import Config  # noqa: E402

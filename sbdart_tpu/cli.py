@@ -19,6 +19,14 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     path = argv[0] if argv else "INPUT"
 
+    # honor JAX_PLATFORMS even when a PJRT plugin (e.g. axon) ignores it
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from sbdart_tpu.namelist import load_namelist
     from sbdart_tpu.outputs import format_iout
     from sbdart_tpu.pipeline import run_pipeline

@@ -122,8 +122,11 @@ def solve_rte(
         temper = jnp.broadcast_to(jnp.asarray(temper, dtype), batch + (nlyr + 1,))
         wvnlo_b = jnp.broadcast_to(jnp.asarray(wvnlo, dtype), batch)
         wvnhi_b = jnp.broadcast_to(jnp.asarray(wvnhi, dtype), batch)
+        planck_dtype = (
+            jnp.float64 if jnp.dtype(dtype) == jnp.float64 else jnp.float32
+        )
         b_level = planck_band(
-            wvnlo_b[..., None], wvnhi_b[..., None], temper
+            wvnlo_b[..., None], wvnhi_b[..., None], temper, planck_dtype
         ).astype(dtype)
         thermal = thermal_particular(
             eig.cpp[..., 0, :, :, :], eig.cpm[..., 0, :, :, :],
@@ -134,11 +137,12 @@ def solve_rte(
         btemp_eff = jnp.where(btemp_b > 0, btemp_b, temper[..., -1])
         ttemp_eff = jnp.where(ttemp_b > 0, ttemp_b, temper[..., 0])
         surf_emission = (
-            (1.0 - albedo) * planck_band(wvnlo_b, wvnhi_b, btemp_eff).astype(dtype)
+            (1.0 - albedo)
+            * planck_band(wvnlo_b, wvnhi_b, btemp_eff, planck_dtype).astype(dtype)
         )
         top_emission = (
             jnp.broadcast_to(jnp.asarray(temis, dtype), batch)
-            * planck_band(wvnlo_b, wvnhi_b, ttemp_eff).astype(dtype)
+            * planck_band(wvnlo_b, wvnhi_b, ttemp_eff, planck_dtype).astype(dtype)
         )
 
     part = bvp_mod.particular_at_bounds(beam, thermal, expbea_s, dm.dtau, nmode)

@@ -113,6 +113,12 @@ def solve_eigen(
     s_minus = 0.5 * (s_minus + jnp.swapaxes(s_minus, -1, -2))
     s_plus = 0.5 * (s_plus + jnp.swapaxes(s_plus, -1, -2))
 
+    # Precision-scaled diagonal jitter: near-conservative layers make
+    # S_minus ill-conditioned (cond ~ 1/(1-w0)); a few-eps ridge keeps the
+    # f32 Cholesky full-rank while perturbing k^2 well below solve accuracy.
+    eps = jnp.finfo(dtype).eps
+    trace = jnp.trace(s_minus, axis1=-2, axis2=-1)[..., None, None]
+    s_minus = s_minus + (8.0 * eps / n) * trace * jnp.eye(n, dtype=dtype)
     l = cholesky_small(s_minus)                      # S_minus = L L^T
     lt_sp_l = jnp.swapaxes(l, -1, -2) @ s_plus @ l   # symmetric, eigvals k^2
     lt_sp_l = 0.5 * (lt_sp_l + jnp.swapaxes(lt_sp_l, -1, -2))

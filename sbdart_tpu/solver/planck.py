@@ -27,9 +27,9 @@ _XCUT = 1.0          # series switch point (both accurate to ~1e-9 there)
 _NEXP_TERMS = 16     # exp-series terms; tail at x=1 ~ e^-17, negligible
 
 
-def _cum_fraction(x: jnp.ndarray) -> jnp.ndarray:
+def _cum_fraction(x: jnp.ndarray, dtype=jnp.float64) -> jnp.ndarray:
     """F(0->x) = (15/pi^4) * int_0^x t^3/(e^t-1) dt, in [0, 1]."""
-    x = jnp.asarray(x, jnp.float64)
+    x = jnp.asarray(x, dtype)
     xs = jnp.minimum(x, _XCUT)  # keep the power series in its domain
     # power-series branch (x <= XCUT)
     p = jnp.zeros_like(xs)
@@ -47,17 +47,19 @@ def _cum_fraction(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x <= _XCUT, lo, hi)
 
 
-def planck_band(wvnlo, wvnhi, temp) -> jnp.ndarray:
+def planck_band(wvnlo, wvnhi, temp, dtype=jnp.float64) -> jnp.ndarray:
     """Planck radiance integrated over [wvnlo, wvnhi] cm^-1 at temp K.
 
-    All args broadcast together.  Returns W m^-2 sr^-1 (float64).
+    All args broadcast together.  Returns W m^-2 sr^-1.  `dtype` defaults to
+    float64 for accuracy; pass float32 on TPU (no native f64) — the band
+    fraction loses ~1e-6 relative there, well inside the f32 solve noise.
     """
-    wvnlo = jnp.asarray(wvnlo, jnp.float64)
-    wvnhi = jnp.asarray(wvnhi, jnp.float64)
-    t = jnp.maximum(jnp.asarray(temp, jnp.float64), 1e-6)
+    wvnlo = jnp.asarray(wvnlo, dtype)
+    wvnhi = jnp.asarray(wvnhi, dtype)
+    t = jnp.maximum(jnp.asarray(temp, dtype), 1e-6)
     x1 = C2_RADIATION * wvnlo / t
     x2 = C2_RADIATION * wvnhi / t
-    frac = _cum_fraction(x2) - _cum_fraction(x1)
+    frac = _cum_fraction(x2, dtype) - _cum_fraction(x1, dtype)
     return (STEFAN_BOLTZMANN / jnp.pi) * t**4 * frac
 
 
