@@ -51,7 +51,8 @@ def jacobi_eigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndar
     v = jnp.broadcast_to(jnp.eye(n, dtype=dtype), a.shape)
     eps = jnp.finfo(dtype).eps
 
-    for _ in range(sweeps):
+    def one_sweep(_, av):
+        a, v = av
         for p in range(n - 1):
             for q in range(p + 1, n):
                 app = a[..., p, p]
@@ -97,6 +98,11 @@ def jacobi_eigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndar
                     + (nvp - vp)[..., :, None] * ep[None, :]
                     + (nvq - vq)[..., :, None] * eq[None, :]
                 )
+        return a, v
+
+    # sweeps as a fori_loop: one sweep's rotations are unrolled (static
+    # pivot order), the sweep repetition is not — 10x smaller XLA graph.
+    a, v = jax.lax.fori_loop(0, sweeps, one_sweep, (a, v))
 
     w = jnp.diagonal(a, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)

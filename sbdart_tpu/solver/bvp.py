@@ -75,11 +75,13 @@ def solve_bvp(
     eig: EigResult,
     part: ParticularAtBounds,
     dtau: jnp.ndarray,        # [..., L] (delta-M scaled)
-    albedo: jnp.ndarray,      # [...]
+    surf_refl: jnp.ndarray,   # [..., m, N, N] surface reflection operator
+                              # (Lambertian: 2*alb for m=0, 0 else; BRDF:
+                              #  R_m(mu_i, mu_j) from solver/brdf.py)
     fisot: jnp.ndarray,       # [...]
     top_emission: jnp.ndarray,   # [...] temis * B(ttemp) (0 unless planck)
-    surf_emission: jnp.ndarray,  # [...] (1 - albedo) * B(btemp) (0 unless planck)
-    beam_surf: jnp.ndarray,   # [...] (albedo/pi) * mu0 * fbeam * exp(-tauL/mu0)
+    surf_emission: jnp.ndarray,  # [..., N] eps(mu_i) * B(btemp) (0 unless planck)
+    beam_refl_src: jnp.ndarray,  # [..., m, N] reflected-direct-beam source
     tab: AngularTables,
     dtype,
 ) -> BvpSolution:
@@ -96,20 +98,21 @@ def solve_bvp(
     e_col = ee[..., None, :]                       # scale eigenmode columns
 
     mode0 = jnp.zeros((nmode,), dtype).at[0].set(1.0)  # [m]
-    m0 = mode0[:, None, None]                          # for [m, i, j]-ish
 
     # ---- diagonal blocks --------------------------------------------------
     d_top = jnp.concatenate([gm, gp * e_col], axis=-1)          # [...,m,L,N,2N]
     d_bot = jnp.concatenate([gp * e_col, gm], axis=-1)
-    # Lambertian reflection correction on the last layer's bottom rows (m=0):
-    alb = albedo[..., None, None]                               # for [..., m, j]
-    refl_a = 2.0 * alb * jnp.einsum(
-        "i,...mij->...mj", wmu, gm[..., -1, :, :] * e_col[..., -1, :, :]
-    )                                                            # [..., m, N]
-    refl_b = 2.0 * alb * jnp.einsum("i,...mij->...mj", wmu, gp[..., -1, :, :])
-    refl = jnp.concatenate([refl_a, refl_b], axis=-1)            # [..., m, 2N]
-    refl = refl * mode0[:, None]
-    d_bot_last = d_bot[..., -1, :, :] - refl[..., None, :]
+    # surface reflection correction on the last layer's bottom rows:
+    # row_i gains -sum_k w_k mu_k R_m[i,k] * (downward hom. solution)_kj
+    refl_a = jnp.einsum(
+        "...mik,k,...mkj->...mij",
+        surf_refl, wmu, gm[..., -1, :, :] * e_col[..., -1, :, :],
+    )                                                            # [..., m, N, N]
+    refl_b = jnp.einsum(
+        "...mik,k,...mkj->...mij", surf_refl, wmu, gp[..., -1, :, :]
+    )
+    refl = jnp.concatenate([refl_a, refl_b], axis=-1)            # [..., m, N, 2N]
+    d_bot_last = d_bot[..., -1, :, :] - refl
     d_bot = d_bot.at[..., -1, :, :].set(d_bot_last)
     diag = jnp.concatenate([d_top, d_bot], axis=-2)              # [...,m,L,2N,2N]
 
@@ -143,14 +146,13 @@ def solve_bvp(
     # bottom rows: l<L-1 -> Ip_up(top of l+1) - Ip_up(bottom of l)
     #              l=L-1 -> surface terms - Ip_up(bottom) + refl of Ip_dn(bottom)
     r_botl = part.top_up[..., 1:, :] - part.bot_up[..., :-1, :]
-    surf_iso = (surf_emission + beam_surf)[..., None] * mode0    # [..., m]
-    refl_part = (
-        2.0 * albedo[..., None] * mode0
-        * jnp.einsum("j,...mj->...m", wmu, part.bot_dn[..., -1, :])
-    )
-    r_botL = (
-        (surf_iso + refl_part)[..., None] - part.bot_up[..., -1, :]
+    surf_src = (
+        surf_emission[..., None, :] * mode0[:, None] + beam_refl_src
     )                                                            # [..., m, N]
+    refl_part = jnp.einsum(
+        "...mij,j,...mj->...mi", surf_refl, wmu, part.bot_dn[..., -1, :]
+    )
+    r_botL = surf_src + refl_part - part.bot_up[..., -1, :]      # [..., m, N]
     r_bot = jnp.concatenate([r_botl, r_botL[..., None, :]], axis=-2)
     rhs = jnp.concatenate([r_top, r_bot], axis=-1)               # [..., m, L, 2N]
 

@@ -67,6 +67,9 @@ def solve_rte(
     umu: jnp.ndarray | None = None,       # [numu] user view cosines (+-)
     phi: jnp.ndarray | None = None,       # [nphi] user azimuths [deg]
     corint: bool = True,
+    brdf=None,                            # None => Lambertian `albedo`;
+                                          # else a solver/brdf.py model
+                                          # (the lamber=.false. BDREF path)
     dtype=None,
     eig_method: str = "auto",
 ) -> RteOutputs:
@@ -147,13 +150,53 @@ def solve_rte(
 
     part = bvp_mod.particular_at_bounds(beam, thermal, expbea_s, dm.dtau, nmode)
 
-    beam_surf = (
-        (albedo / jnp.pi) * mu0 * jnp.where(has_beam, fbeam, 0.0)
-        * expbea_s[..., -1]
-    )
+    # ---- surface operators (SURFAC/BDREF equivalent) ----------------------
+    n = nstr // 2
+    mode0_vec = jnp.zeros((nmode,), dtype).at[0].set(1.0)
+    beam_flux_surf = mu0 * jnp.where(has_beam, fbeam, 0.0) * expbea_s[..., -1]
+    if brdf is None:
+        ones_nn = jnp.ones((n, n), dtype)
+        surf_refl = (
+            2.0 * albedo[..., None, None, None]
+            * mode0_vec[:, None, None] * ones_nn
+        )                                                  # [..., m, N, N]
+        beam_refl_src = (
+            (albedo / jnp.pi) * beam_flux_surf
+        )[..., None, None] * mode0_vec[:, None]            # [..., m, N]
+        surf_emis_vec = surf_emission[..., None] * jnp.ones((n,), dtype)
+    else:
+        from sbdart_tpu.solver.brdf import (
+            fourier_refl_matrices,
+            hemispherical_reflectance,
+        )
+
+        mu_q = jnp.asarray(tab.mu, dtype)
+        surf_refl = jnp.broadcast_to(
+            fourier_refl_matrices(brdf, mu_q, mu_q, nmode, dtype),
+            batch + (nmode, n, n),
+        )
+        r_beam = fourier_refl_matrices(
+            brdf, mu_q, mu0[..., None], nmode, dtype
+        )[..., :, :, 0]                                    # [..., m, N]
+        import numpy as _np
+
+        mfac = jnp.asarray(
+            _np.where(_np.arange(nmode) == 0, 1.0, 2.0), dtype
+        )
+        beam_refl_src = (
+            r_beam * mfac[:, None] / (2.0 * jnp.pi)
+            * beam_flux_surf[..., None, None]
+        )
+        if planck:
+            r_dh = hemispherical_reflectance(brdf, mu_q, tab.w, tab.mu, dtype)
+            bs = surf_emission / jnp.maximum(1.0 - albedo, 1e-12)  # raw B_s
+            surf_emis_vec = (1.0 - r_dh) * bs[..., None]
+        else:
+            surf_emis_vec = jnp.zeros(batch + (n,), dtype)
+
     sol = bvp_mod.solve_bvp(
-        eig, part, dm.dtau, albedo, fisot, top_emission, surf_emission,
-        beam_surf, tab, dtype,
+        eig, part, dm.dtau, surf_refl, fisot, top_emission, surf_emis_vec,
+        beam_refl_src, tab, dtype,
     )
     bounds = bvp_mod.intensity_at_boundaries(eig, sol, part, dm.dtau)
 
@@ -175,7 +218,7 @@ def solve_rte(
             top_emission=top_emission, surf_emission=surf_emission,
             bounds=bounds, pmom_unscaled=pmom,
             umu=np.asarray(umu, np.float64), phi=np.asarray(phi, np.float64),
-            corint=corint, dtype=dtype,
+            corint=corint, dtype=dtype, brdf=brdf,
         )
 
     return RteOutputs(fx.rfldir, fx.rfldn, fx.flup, fx.dfdt, fx.uavg, uu)

@@ -102,6 +102,7 @@ def compute_radiances(
     phi: np.ndarray,             # [P] static user azimuths [deg]
     corint: bool,
     dtype,
+    brdf=None,                   # non-Lambertian surface (solver/brdf.py)
 ) -> jnp.ndarray:
     """Radiances uu[..., L+1, U, P] at all layer boundaries."""
     umu = np.asarray(umu, np.float64)
@@ -213,13 +214,45 @@ def compute_radiances(
             + st0_u * (1.0 - e_lay)
             + st1_u * (u[None, :] - (dtau_m + u[None, :]) * e_lay)
         )
-        # surface start (Lambertian, mode 0 only)
-        fdn_bot = 2.0 * jnp.einsum(
-            "j,...vj->...v", jnp.asarray(tab.w * tab.mu, dtype), bounds.dn[..., 0, -1:, :]
-        )[..., 0]
+        # surface start: reflection of the downwelling field + direct beam
+        # + emission (Lambertian: mode 0 only; BRDF: all modes)
+        wmu_j = jnp.asarray(tab.w * tab.mu, dtype)
         fdir_bot = mu0 * jnp.where(fbeam > 0, fbeam, 0.0) * expbea_s[..., -1]
-        i_surf0 = surf_emission + albedo * (fdir_bot / jnp.pi + fdn_bot)
-        i_surf = i_surf0[..., None, None] * mode0_vec[:, None] * jnp.ones_like(u)
+        if brdf is None:
+            fdn_bot = 2.0 * jnp.einsum(
+                "j,...vj->...v", wmu_j, bounds.dn[..., 0, -1:, :]
+            )[..., 0]
+            i_surf0 = surf_emission + albedo * (fdir_bot / jnp.pi + fdn_bot)
+            i_surf = (
+                i_surf0[..., None, None] * mode0_vec[:, None] * jnp.ones_like(u)
+            )
+        else:
+            from sbdart_tpu.solver.brdf import (
+                fourier_refl_matrices,
+                hemispherical_reflectance,
+            )
+
+            r_user = fourier_refl_matrices(
+                brdf, u, jnp.asarray(tab.mu, dtype), nmode, dtype
+            )                                              # [m, U, N]
+            i_dn_bot = bounds.dn[..., -1, :]               # [..., m, N]
+            refl_diff = jnp.einsum(
+                "...muj,j,...mj->...mu", r_user, wmu_j, i_dn_bot
+            )
+            r_b = fourier_refl_matrices(
+                brdf, u, mu0[..., None], nmode, dtype
+            )[..., :, :, 0]                                # [..., m, U]
+            mfac_m = jnp.asarray(
+                np.where(np.arange(nmode) == 0, 1.0, 2.0), dtype
+            )
+            refl_beam = (
+                r_b * mfac_m[:, None] / (2.0 * jnp.pi)
+                * fdir_bot[..., None, None]
+            )
+            r_dh_u = hemispherical_reflectance(brdf, u, tab.w, tab.mu, dtype)
+            bs = surf_emission / jnp.maximum(1.0 - albedo, 1e-12)
+            emis = (1.0 - r_dh_u) * bs[..., None, None] * mode0_vec[:, None]
+            i_surf = refl_diff + refl_beam + emis
 
         def step(carry, inp):
             j_l, e_l = inp
