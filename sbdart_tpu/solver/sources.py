@@ -76,13 +76,6 @@ def beam_particular(
     has_beam = fbeam > 0.0
     mu0 = jnp.where(has_beam, jnp.abs(umu0), 0.5)
 
-    scat = full_scatter_matrix(cpp, cpm, w)    # [..., m, L, 2N, 2N]
-    u = jnp.concatenate([mu, -mu])             # [2N]
-    # system matrix: (I + diag(u)/mu0 - Scat)
-    eye2 = jnp.eye(2 * n, dtype=dtype)
-    diag_u = jnp.zeros_like(scat) + jnp.diag(u)          # [..., m, L, 2N, 2N]
-    mat = eye2 + diag_u / mu0[..., None, None, None, None] - scat
-
     # RHS: X0(u_i) = (w0 F0 (2 - delta_m0) / 4pi) sum_l (2l+1) g_l
     #                 Lam_l^m(u_i) Lam_l^m(-mu0)
     # Lam at -mu0 = parity * Lam at +mu0.  Lam(mu0) must be evaluated at the
@@ -101,10 +94,30 @@ def beam_particular(
         * mfac[:, None, None]
         / (2.0 * jnp.pi)
     )
-    rhs = jnp.concatenate([x0p, x0m], axis=-1) * scale   # [..., m, L, 2N]
+    x0p = x0p * scale
+    x0m = x0m * scale
 
-    z = gauss_solve(mat, rhs[..., None])[..., 0]
-    return BeamSource(z[..., :n], z[..., n:])
+    # ---- reduced N x N solve via the +- symmetry --------------------------
+    # With S = Z+ + Z-, D = Z+ - Z-, the 2N system splits into
+    #   (alpha-beta) S + D/mu0 = M^-1 (X0+ + X0-)  == r1
+    #   (alpha+beta) D + S/mu0 = M^-1 (X0+ - X0-)  == r2
+    # =>  [(alpha+beta)(alpha-beta) - I/mu0^2] S = (alpha+beta) r1 - r2/mu0
+    # — half the dimension of the reference's UPBEAM (SGECO/SGESL) solve and
+    # reusing the matrices the eigensolve already needs.  The 1/mu0 == k_j
+    # resonance is measure-zero and handled as DISORT does (dither mu0).
+    eye = jnp.eye(n, dtype=dtype)
+    amb = (1.0 / mu)[:, None] * (eye - (cpp + cpm) * w)   # alpha - beta
+    apb = (1.0 / mu)[:, None] * (eye - (cpp - cpm) * w)   # alpha + beta
+    inv_mu0 = (1.0 / mu0)[..., None, None, None]
+    r1 = (x0p + x0m) / mu
+    r2 = (x0p - x0m) / mu
+    mat = apb @ amb - eye * inv_mu0[..., None] ** 2
+    rhs = (
+        jnp.einsum("...ij,...j->...i", apb, r1) - r2 * inv_mu0
+    )
+    s = gauss_solve(mat, rhs[..., None])[..., 0]
+    d = (r1 - jnp.einsum("...ij,...j->...i", amb, s)) * mu0[..., None, None, None]
+    return BeamSource(0.5 * (s + d), 0.5 * (s - d))
 
 
 def _ylm_at(mu0: jnp.ndarray, nmode: int, nmom: int, dtype) -> jnp.ndarray:
@@ -169,17 +182,25 @@ def thermal_particular(
     b_bot = b_level[..., 1:]
     b1 = (b_bot - b_top) / jnp.maximum(dtau, DTAU_MIN)
 
-    scat = full_scatter_matrix(cpp0, cpm0, w)    # [..., L, 2N, 2N]
-    eye2 = jnp.eye(2 * n, dtype=dtype)
-    mat = eye2 - scat
-    one = jnp.ones(mat.shape[:-1] + (1,), dtype=dtype)
-    v = gauss_solve(mat, one)[..., 0]            # (I - S)^-1 1   [..., L, 2N]
-    u = jnp.concatenate([mu, -mu])
-    q = gauss_solve(mat, (u * v)[..., None])[..., 0]  # (I-S)^-1 (u*v)
-
+    # Reduced N x N solves via the +- symmetry (the emission source is
+    # up/down symmetric, so the difference components collapse):
+    #   Y1+ = Y1- = S1/2,        (alpha-beta) S1 = 2 (1-w0) b1 / mu
+    #   Y0+- = (S0 +- D0)/2,     (alpha-beta) S0 = 2 (1-w0) Btop / mu
+    #                            (alpha+beta) D0 = S1
+    # — replaces UPISOT's full (2N x 2N) SGECO/SGESL solves.
+    eye = jnp.eye(n, dtype=dtype)
+    amb = (1.0 / mu)[:, None] * (eye - (cpp0 + cpm0) * w)
+    apb = (1.0 / mu)[:, None] * (eye - (cpp0 - cpm0) * w)
     emis = (1.0 - ssalb)[..., None]              # [..., L, 1]
-    y1 = emis * b1[..., None] * v
-    y0 = emis * b_top[..., None] * v + emis * b1[..., None] * q
-    return ThermalSource(
-        y0[..., :n], y0[..., n:], y1[..., :n], y1[..., n:], b_top, b_bot
-    )
+    ones_mu = 1.0 / mu                           # [N] (the 1/mu weighting)
+    rhs1 = 2.0 * emis * b1[..., None] * ones_mu
+    rhs0 = 2.0 * emis * b_top[..., None] * ones_mu
+    both = gauss_solve(amb, jnp.stack([rhs1, rhs0], axis=-1))
+    s1 = both[..., 0]
+    s0 = both[..., 1]
+    d0 = gauss_solve(apb, s1[..., None])[..., 0]
+    y1p = 0.5 * s1
+    y1m = 0.5 * s1
+    y0p = 0.5 * (s0 + d0)
+    y0m = 0.5 * (s0 - d0)
+    return ThermalSource(y0p, y0m, y1p, y1m, b_top, b_bot)
