@@ -7,6 +7,7 @@ factors one small matrix at a time; here the batch axis
 (column x band x k x mode x layer) is the vectorization surface.
 """
 
+from sbdart_tpu.ops import lane  # noqa: F401
 from sbdart_tpu.ops.batched_linalg import (  # noqa: F401
     eigh_small,
     jacobi_eigh,

@@ -114,13 +114,23 @@ def jacobi_eigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndar
 def eigh_small(a: jnp.ndarray, method: str = "auto") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched symmetric eigendecomposition with backend selection.
 
-    method: 'xla' (jnp.linalg.eigh), 'jacobi' (unrolled batched Jacobi — the
-    TPU fast path for n <= 16), or 'auto'.
+    method: 'xla' (jnp.linalg.eigh), 'lane' (lane-layout closed-form/Jacobi —
+    the TPU fast path for n <= 16; see ops/lane.py), 'jacobi' (legacy
+    batch-major Jacobi), or 'auto'.
     """
+    from sbdart_tpu.ops import lane
+
     n = a.shape[-1]
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = "jacobi" if (on_tpu and n <= 16) else "xla"
+        method = "lane" if (on_tpu and n <= 16) else "xla"
+    if method == "lane":
+        al, batch_shape = lane.to_lane(a)
+        w, v = lane.leigh(al)
+        return (
+            lane.from_lane(w, batch_shape),
+            lane.from_lane(v, batch_shape),
+        )
     if method == "jacobi":
         return jacobi_eigh(a)
     return jnp.linalg.eigh(a)
@@ -133,13 +143,20 @@ def eigh_small(a: jnp.ndarray, method: str = "auto") -> tuple[jnp.ndarray, jnp.n
 def gauss_solve(a: jnp.ndarray, b: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
     """Solve a @ x = b for batched small a: [..., n, n], b: [..., n, m].
 
-    method 'unrolled' performs partial-pivoted Gaussian elimination with the
-    n-loop unrolled (every step a batched broadcast op); 'xla' defers to
-    jnp.linalg.solve.  Replaces disutil.f:SGECO/SGESL usage in UPBEAM.
+    method 'lane' relayouts to matrix-dims-leading and runs partial-pivoted
+    GE as pure vector code (the TPU fast path; see ops/lane.py); 'unrolled'
+    is the legacy batch-major elimination; 'xla' defers to jnp.linalg.solve.
+    Replaces disutil.f:SGECO/SGESL usage in UPBEAM.
     """
+    from sbdart_tpu.ops import lane
+
     n = a.shape[-1]
     if method == "auto":
-        method = "unrolled" if (jax.default_backend() == "tpu" and n <= 48) else "xla"
+        method = "lane" if (jax.default_backend() == "tpu" and n <= 48) else "xla"
+    if method == "lane":
+        al, batch_shape = lane.to_lane(a)
+        bl, _ = lane.to_lane(b)
+        return lane.from_lane(lane.lsolve(al, bl), batch_shape)
     if method == "xla":
         return jnp.linalg.solve(a, b)
 
@@ -186,9 +203,14 @@ def gauss_solve(a: jnp.ndarray, b: jnp.ndarray, method: str = "auto") -> jnp.nda
 
 def cholesky_small(a: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
     """Lower Cholesky factor of batched SPD [..., n, n] matrices."""
+    from sbdart_tpu.ops import lane
+
     n = a.shape[-1]
     if method == "auto":
-        method = "unrolled" if (jax.default_backend() == "tpu" and n <= 32) else "xla"
+        method = "lane" if (jax.default_backend() == "tpu" and n <= 32) else "xla"
+    if method == "lane":
+        al, batch_shape = lane.to_lane(a)
+        return lane.from_lane(lane.lcholesky(al), batch_shape)
     if method == "xla":
         return jnp.linalg.cholesky(a)
     dtype = a.dtype

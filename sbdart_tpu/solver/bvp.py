@@ -9,6 +9,11 @@ is a *batched* (batch x mode) small dense solve — the layer recursion is the
 only sequential axis and it is at most ~65 long, while the batch axis carries
 the parallelism.
 
+All per-layer tensors use the lane layout of ops/lane.py — matrix dims
+leading, flattened (batch x mode) in the minor axis: [L, 2N, 2N, B] — so the
+block assembly, the elimination and the back-substitution are full-occupancy
+vector code on TPU tiles (see ops/lane.py for the layout rationale).
+
 Unknowns per layer l: x_l = [a_l (N), b_l (N)] — amplitudes of the
 down-decaying (exp(-k t')) and up-decaying (exp(-k (dtau - t'))) eigenmodes.
 Exponentials are stored in the boundary-anchored scaled form so nothing ever
@@ -29,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sbdart_tpu.ops import gauss_solve
+from sbdart_tpu.ops import lane
 from sbdart_tpu.solver.eig import AngularTables, EigResult
 from sbdart_tpu.solver.sources import BeamSource, ThermalSource
 
@@ -71,6 +76,35 @@ def particular_at_bounds(
     return ParticularAtBounds(top_up, top_dn, bot_up, bot_dn)
 
 
+# --------------------------------------------------------------------------
+# Layout shuffles between the solver's [..., m, L, ...] pytrees and the
+# scan-ready lane layout [L, ..., B] (B = flattened batch x mode)
+# --------------------------------------------------------------------------
+
+def _to_scan_lane(x: jnp.ndarray, ndim_mat: int) -> jnp.ndarray:
+    """[batch..., m, L, *mat] -> [L, *mat, B] with B = prod(batch)*m."""
+    l_axis = x.ndim - ndim_mat - 1
+    x = jnp.moveaxis(x, l_axis, 0)            # [L, batch..., m, *mat]
+    bshape = x.shape[1: x.ndim - ndim_mat]
+    b = 1
+    for s in bshape:
+        b *= s
+    x = x.reshape((x.shape[0], b) + x.shape[x.ndim - ndim_mat:])
+    return jnp.moveaxis(x, 1, -1)             # [L, *mat, B]
+
+
+def _from_scan_lane(x: jnp.ndarray, batch_shape: tuple) -> jnp.ndarray:
+    """[L, *mat, B] -> [batch..., m, L, *mat]."""
+    x = jnp.moveaxis(x, -1, 1)                # [L, B, *mat]
+    x = x.reshape((x.shape[0],) + batch_shape + x.shape[2:])
+    return jnp.moveaxis(x, 0, len(batch_shape))
+
+
+def _flat_bm(x: jnp.ndarray, nmode: int) -> jnp.ndarray:
+    """[batch...] -> [B]: broadcast over the mode axis and flatten."""
+    return jnp.broadcast_to(x[..., None], x.shape + (nmode,)).reshape(-1)
+
+
 def solve_bvp(
     eig: EigResult,
     part: ParticularAtBounds,
@@ -89,108 +123,99 @@ def solve_bvp(
     n = tab.mu.shape[0]
     nmode = eig.kk.shape[-3]
     nlyr = eig.kk.shape[-2]
+    batch_shape = eig.kk.shape[:-3] + (nmode,)
     w = jnp.asarray(tab.w, dtype)
     mu = jnp.asarray(tab.mu, dtype)
-    wmu = w * mu
+    wmu = (w * mu)[:, None]                        # [N, 1] column scale
 
-    gp, gm, kk = eig.gp, eig.gm, eig.kk
-    ee = jnp.exp(-kk * dtau[..., None, :, None])   # [..., m, L, N]
-    e_col = ee[..., None, :]                       # scale eigenmode columns
+    ee_std = jnp.exp(-eig.kk * dtau[..., None, :, None])   # [..., m, L, N]
 
-    mode0 = jnp.zeros((nmode,), dtype).at[0].set(1.0)  # [m]
+    # relayout the per-layer operands once: [L, N(,N), B]
+    gp = _to_scan_lane(eig.gp, 2)
+    gm = _to_scan_lane(eig.gm, 2)
+    ee = _to_scan_lane(ee_std, 1)
+    e_col = ee[:, None, :, :]                      # scale eigenmode columns
+
+    p_tu = _to_scan_lane(part.top_up, 1)
+    p_td = _to_scan_lane(part.top_dn, 1)
+    p_bu = _to_scan_lane(part.bot_up, 1)
+    p_bd = _to_scan_lane(part.bot_dn, 1)
+
+    srefl = lane.to_lane(surf_refl)[0]             # [N, N, B]
+    bref = lane.to_lane(beam_refl_src, 1)[0]       # [N, B]
+
+    mode0 = jnp.zeros(batch_shape, dtype)
+    mode0 = mode0.at[..., 0].set(1.0).reshape(-1)  # [B] 1 on azimuth mode 0
+    iso = (_flat_bm(fisot, nmode) + _flat_bm(top_emission, nmode)) * mode0
+    semis = (
+        lane.to_lane(surf_emission[..., None, :] * jnp.ones((nmode, 1), dtype), 1)[0]
+        * mode0[None, :]
+    )                                              # [N, B]
 
     # ---- diagonal blocks --------------------------------------------------
-    d_top = jnp.concatenate([gm, gp * e_col], axis=-1)          # [...,m,L,N,2N]
-    d_bot = jnp.concatenate([gp * e_col, gm], axis=-1)
+    d_top = jnp.concatenate([gm, gp * e_col], axis=2)          # [L, N, 2N, B]
+    d_bot = jnp.concatenate([gp * e_col, gm], axis=2)
     # surface reflection correction on the last layer's bottom rows:
     # row_i gains -sum_k w_k mu_k R_m[i,k] * (downward hom. solution)_kj
-    refl_a = jnp.einsum(
-        "...mik,k,...mkj->...mij",
-        surf_refl, wmu, gm[..., -1, :, :] * e_col[..., -1, :, :],
-    )                                                            # [..., m, N, N]
-    refl_b = jnp.einsum(
-        "...mik,k,...mkj->...mij", surf_refl, wmu, gp[..., -1, :, :]
-    )
-    refl = jnp.concatenate([refl_a, refl_b], axis=-1)            # [..., m, N, 2N]
-    d_bot_last = d_bot[..., -1, :, :] - refl
-    d_bot = d_bot.at[..., -1, :, :].set(d_bot_last)
-    diag = jnp.concatenate([d_top, d_bot], axis=-2)              # [...,m,L,2N,2N]
+    refl_a = lane.lmatmul(srefl * wmu[None], gm[-1] * e_col[-1])
+    refl_b = lane.lmatmul(srefl * wmu[None], gp[-1])
+    refl = jnp.concatenate([refl_a, refl_b], axis=1)           # [N, 2N, B]
+    d_bot = d_bot.at[-1].add(-refl)
+    diag = jnp.concatenate([d_top, d_bot], axis=1)             # [L, 2N, 2N, B]
 
     # ---- lower blocks (couple x_{l-1}); nonzero in top rows, l >= 1 -------
-    low_top = jnp.concatenate([gm * e_col, gp], axis=-1)         # layer l-1 view
+    low_top = jnp.concatenate([gm * e_col, gp], axis=2)        # layer l-1 view
+    lower = jnp.concatenate([-low_top, jnp.zeros_like(low_top)], axis=1)
     lower = jnp.concatenate(
-        [-low_top, jnp.zeros_like(low_top)], axis=-2
-    )                                                            # [...,m,L,2N,2N]
-    # shift: block row l uses layer l-1 matrices; row 0 is zero
-    lower = jnp.concatenate(
-        [jnp.zeros_like(lower[..., :1, :, :]), lower[..., :-1, :, :]], axis=-3
+        [jnp.zeros_like(lower[:1]), lower[:-1]], axis=0
     )
 
     # ---- upper blocks (couple x_{l+1}); nonzero in bottom rows, l <= L-2 --
-    up_bot = jnp.concatenate([gp, gm * e_col], axis=-1)          # layer l+1 view
-    upper = jnp.concatenate(
-        [jnp.zeros_like(up_bot), -up_bot], axis=-2
-    )
-    upper = jnp.concatenate(
-        [upper[..., 1:, :, :], jnp.zeros_like(upper[..., :1, :, :])], axis=-3
-    )
+    up_bot = jnp.concatenate([gp, gm * e_col], axis=2)         # layer l+1 view
+    upper = jnp.concatenate([jnp.zeros_like(up_bot), -up_bot], axis=1)
+    upper = jnp.concatenate([upper[1:], jnp.zeros_like(upper[:1])], axis=0)
 
     # ---- right-hand side --------------------------------------------------
     # top rows: l=0 -> (fisot + top emission) - Ip_dn(top of 0)
     #           l>0 -> Ip_dn(bottom of l-1) - Ip_dn(top of l)
-    iso = (fisot[..., None] + top_emission[..., None]) * mode0   # [..., m]
-    r_top0 = iso[..., None] - part.top_dn[..., 0, :]             # [..., m, N]
-    r_topl = part.bot_dn[..., :-1, :] - part.top_dn[..., 1:, :]
-    r_top = jnp.concatenate([r_top0[..., None, :], r_topl], axis=-2)
+    r_top0 = iso[None, :] - p_td[0]                            # [N, B]
+    r_topl = p_bd[:-1] - p_td[1:]
+    r_top = jnp.concatenate([r_top0[None], r_topl], axis=0)    # [L, N, B]
 
     # bottom rows: l<L-1 -> Ip_up(top of l+1) - Ip_up(bottom of l)
     #              l=L-1 -> surface terms - Ip_up(bottom) + refl of Ip_dn(bottom)
-    r_botl = part.top_up[..., 1:, :] - part.bot_up[..., :-1, :]
-    surf_src = (
-        surf_emission[..., None, :] * mode0[:, None] + beam_refl_src
-    )                                                            # [..., m, N]
-    refl_part = jnp.einsum(
-        "...mij,j,...mj->...mi", surf_refl, wmu, part.bot_dn[..., -1, :]
-    )
-    r_botL = surf_src + refl_part - part.bot_up[..., -1, :]      # [..., m, N]
-    r_bot = jnp.concatenate([r_botl, r_botL[..., None, :]], axis=-2)
-    rhs = jnp.concatenate([r_top, r_bot], axis=-1)               # [..., m, L, 2N]
+    r_botl = p_tu[1:] - p_bu[:-1]
+    refl_part = lane.lmatvec(srefl * wmu[None], p_bd[-1])
+    r_botL = semis + bref + refl_part - p_bu[-1]
+    r_bot = jnp.concatenate([r_botl, r_botL[None]], axis=0)
+    rhs = jnp.concatenate([r_top, r_bot], axis=1)              # [L, 2N, B]
 
     # ---- block-Thomas elimination over layers (lax.scan) ------------------
-    # Move the layer axis to the front for scan.
-    def to_front(x):
-        return jnp.moveaxis(x, -3, 0)
-
-    diag_s, lower_s, upper_s = to_front(diag), to_front(lower), to_front(upper)
-    rhs_s = jnp.moveaxis(rhs, -2, 0)
-
-    batch_shape = rhs.shape[:-2]  # includes mode axis
-    w0 = jnp.zeros(batch_shape + (2 * n, 2 * n), dtype)
-    y0 = jnp.zeros(batch_shape + (2 * n,), dtype)
+    b_flat = rhs.shape[-1]
+    w0 = jnp.zeros((2 * n, 2 * n, b_flat), dtype)
+    y0 = jnp.zeros((2 * n, b_flat), dtype)
 
     def fwd(carry, inp):
         w_prev, y_prev = carry
         d_l, a_l, u_l, r_l = inp
-        dt = d_l - a_l @ w_prev
-        rt = r_l - jnp.einsum("...ij,...j->...i", a_l, y_prev)
-        sol = gauss_solve(dt, jnp.concatenate([u_l, rt[..., None]], axis=-1))
-        w_l = sol[..., : 2 * n]
-        y_l = sol[..., 2 * n]
+        dt = d_l - lane.lmatmul(a_l, w_prev)
+        rt = r_l - lane.lmatvec(a_l, y_prev)
+        sol = lane.lsolve(dt, jnp.concatenate([u_l, rt[:, None, :]], axis=1))
+        w_l = sol[:, : 2 * n]
+        y_l = sol[:, 2 * n]
         return (w_l, y_l), (w_l, y_l)
 
-    (_, _), (ws, ys) = jax.lax.scan(fwd, (w0, y0), (diag_s, lower_s, upper_s, rhs_s))
+    (_, _), (ws, ys) = jax.lax.scan(fwd, (w0, y0), (diag, lower, upper, rhs))
 
     def bwd(x_next, inp):
         w_l, y_l = inp
-        x_l = y_l - jnp.einsum("...ij,...j->...i", w_l, x_next)
+        x_l = y_l - lane.lmatvec(w_l, x_next)
         return x_l, x_l
 
     x_last = ys[-1]
-    _, xs_rev = jax.lax.scan(
-        bwd, x_last, (ws[:-1], ys[:-1]), reverse=True
-    )
-    xs = jnp.concatenate([xs_rev, x_last[None]], axis=0)          # [L, ..., 2N]
-    x = jnp.moveaxis(xs, 0, -2)                                   # [..., m, L, 2N]
+    _, xs_rev = jax.lax.scan(bwd, x_last, (ws[:-1], ys[:-1]), reverse=True)
+    xs = jnp.concatenate([xs_rev, x_last[None]], axis=0)        # [L, 2N, B]
+    x = _from_scan_lane(xs, batch_shape)                        # [..., m, L, 2N]
     return BvpSolution(x[..., :n], x[..., n:])
 
 
@@ -207,22 +232,33 @@ def intensity_at_boundaries(
     dtau: jnp.ndarray,
 ) -> BoundaryIntensities:
     """Evaluate the full solution at every layer boundary (quadrature angles)."""
-    ee = jnp.exp(-eig.kk * dtau[..., None, :, None])   # [..., m, L, N]
-    a = sol.aa[..., None]   # mode amplitudes as column vecs [..., m, L, N, 1]
-    b = sol.bb[..., None]
-    e = ee[..., None]
+    nmode = eig.kk.shape[-3]
+    batch_shape = eig.kk.shape[:-3] + (nmode,)
+    ee_std = jnp.exp(-eig.kk * dtau[..., None, :, None])   # [..., m, L, N]
+
+    gp = _to_scan_lane(eig.gp, 2)                # [L, N, N, B]
+    gm = _to_scan_lane(eig.gm, 2)
+    ee = _to_scan_lane(ee_std, 1)                # [L, N, B]
+    a = _to_scan_lane(sol.aa, 1)
+    b = _to_scan_lane(sol.bb, 1)
+    e_col = ee[:, None, :, :]
 
     # at layer tops (t' = 0): hom = G a + (G~ e) b
-    top_up = (eig.gp @ a + (eig.gm * jnp.swapaxes(e, -1, -2)) @ b)[..., 0]
-    top_dn = (eig.gm @ a + (eig.gp * jnp.swapaxes(e, -1, -2)) @ b)[..., 0]
+    top_up = lane.lmatvec(gp, a) + lane.lmatvec(gm * e_col, b)   # [L, N, B]
+    top_dn = lane.lmatvec(gm, a) + lane.lmatvec(gp * e_col, b)
     # at layer bottoms (t' = dtau): hom = (G e) a + G~ b
-    bot_up = ((eig.gp * jnp.swapaxes(e, -1, -2)) @ a + eig.gm @ b)[..., 0]
-    bot_dn = ((eig.gm * jnp.swapaxes(e, -1, -2)) @ a + eig.gp @ b)[..., 0]
+    bot_up = lane.lmatvec(gp * e_col, a) + lane.lmatvec(gm, b)
+    bot_dn = lane.lmatvec(gm * e_col, a) + lane.lmatvec(gp, b)
+
+    p_tu = _to_scan_lane(part.top_up, 1)
+    p_td = _to_scan_lane(part.top_dn, 1)
+    p_bu = _to_scan_lane(part.bot_up, 1)
+    p_bd = _to_scan_lane(part.bot_dn, 1)
 
     up = jnp.concatenate(
-        [top_up + part.top_up, (bot_up + part.bot_up)[..., -1:, :]], axis=-2
+        [top_up + p_tu, (bot_up + p_bu)[-1:]], axis=0
+    )                                                            # [L+1, N, B]
+    dn = jnp.concatenate([top_dn + p_td, (bot_dn + p_bd)[-1:]], axis=0)
+    return BoundaryIntensities(
+        _from_scan_lane(up, batch_shape), _from_scan_lane(dn, batch_shape)
     )
-    dn = jnp.concatenate(
-        [top_dn + part.top_dn, (bot_dn + part.bot_dn)[..., -1:, :]], axis=-2
-    )
-    return BoundaryIntensities(up, dn)

@@ -29,10 +29,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sbdart_tpu.ops import cholesky_small, eigh_small, gauss_solve
+from sbdart_tpu.ops import cholesky_small, eigh_small, gauss_solve, lane
 from sbdart_tpu.solver.legendre import legendre_assoc_norm
 from sbdart_tpu.solver.quadrature import double_gauss
 
@@ -100,6 +101,13 @@ def solve_eigen(
     w = jnp.asarray(tab.w, dtype)
     cpp, cpm = scattering_matrices(ssalb, gl, tab, dtype)
 
+    if eig_method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        eig_method = "lane" if (on_tpu and n <= 16) else "xla"
+    if eig_method in ("lane", "jacobi"):
+        kk, gp, gm = _eigen_chain_lane(cpp, cpm, mu, w, dtype)
+        return EigResult(kk, gp, gm, cpp, cpm)
+
     eye = jnp.eye(n, dtype=dtype)
     inv_mu = (1.0 / mu)[:, None]               # column scaling M^-1
     # alpha - beta = M^-1 (I - (C^pp + C^pm) W)
@@ -119,17 +127,63 @@ def solve_eigen(
     eps = jnp.finfo(dtype).eps
     trace = jnp.trace(s_minus, axis1=-2, axis2=-1)[..., None, None]
     s_minus = s_minus + (8.0 * eps / n) * trace * jnp.eye(n, dtype=dtype)
-    l = cholesky_small(s_minus)                      # S_minus = L L^T
+    l = cholesky_small(s_minus, method="xla")        # S_minus = L L^T
     lt_sp_l = jnp.swapaxes(l, -1, -2) @ s_plus @ l   # symmetric, eigvals k^2
     lt_sp_l = 0.5 * (lt_sp_l + jnp.swapaxes(lt_sp_l, -1, -2))
-    k2, v = eigh_small(lt_sp_l, method=eig_method)
+    k2, v = eigh_small(lt_sp_l, method="xla")
     kk = jnp.sqrt(jnp.maximum(k2, 1e-30))            # [..., m, L, N]
 
     # X = P^-1 L^-T V ;  Y = -(1/k) (alpha - beta) X
     lt = jnp.swapaxes(l, -1, -2)
-    z = gauss_solve(lt, v)                           # L^-T V
+    z = gauss_solve(lt, v, method="xla")             # L^-T V
     x = z / p[:, None]
     y = -(amb @ x) / kk[..., None, :]
     gp = 0.5 * (x + y)                               # value at +mu_i, e^{-k tau}
     gm = 0.5 * (x - y)                               # value at -mu_i
     return EigResult(kk, gp, gm, cpp, cpm)
+
+
+def _eigen_chain_lane(cpp, cpm, mu, w, dtype):
+    """The SOLEIG chain in lane layout (matrix dims leading, batch minor).
+
+    One relayout in, three out; everything between is full-lane-occupancy
+    vector code (see ops/lane.py for why this matters on TPU tiles).
+    """
+    n = mu.shape[0]
+    cppl, batch_shape = lane.to_lane(cpp)      # [N, N, B]
+    cpml, _ = lane.to_lane(cpm)
+
+    eye = jnp.eye(n, dtype=dtype)[..., None]   # [N, N, 1]
+    inv_mu_i = (1.0 / mu)[:, None, None]
+    w_j = w[None, :, None]
+    amb = inv_mu_i * (eye - (cppl + cpml) * w_j)
+    apb = inv_mu_i * (eye - (cppl - cpml) * w_j)
+
+    p = jnp.sqrt(mu * w)
+    p_i = p[:, None, None]
+    p_j = p[None, :, None]
+    s_minus = p_i * amb / p_j
+    s_plus = p_i * apb / p_j
+    s_minus = 0.5 * (s_minus + lane.ltranspose(s_minus))
+    s_plus = 0.5 * (s_plus + lane.ltranspose(s_plus))
+
+    eps = jnp.finfo(dtype).eps
+    trace = jnp.sum(s_minus * eye, axis=(0, 1))          # [B]
+    s_minus = s_minus + (8.0 * eps / n) * trace * eye
+    l = lane.lcholesky(s_minus)
+    lt = lane.ltranspose(l)
+    lt_sp_l = lane.lmatmul(lane.lmatmul(lt, s_plus), l)
+    lt_sp_l = 0.5 * (lt_sp_l + lane.ltranspose(lt_sp_l))
+    k2, v = lane.leigh(lt_sp_l)                          # [N, B], [N, N, B]
+    kk = jnp.sqrt(jnp.maximum(k2, 1e-30))
+
+    z = lane.lsolve_upper_tri(lt, v)
+    x = z / p[:, None, None]
+    y = -lane.lmatmul(amb, x) / kk[None, :, :]
+    gp = 0.5 * (x + y)
+    gm = 0.5 * (x - y)
+    return (
+        lane.from_lane(kk, batch_shape),
+        lane.from_lane(gp, batch_shape),
+        lane.from_lane(gm, batch_shape),
+    )

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from sbdart_tpu.constants import DTAU_MIN
-from sbdart_tpu.ops import gauss_solve
+from sbdart_tpu.ops import lane
 from sbdart_tpu.solver.eig import AngularTables
 from sbdart_tpu.solver.legendre import legendre_assoc_norm
 
@@ -105,19 +105,30 @@ def beam_particular(
     # — half the dimension of the reference's UPBEAM (SGECO/SGESL) solve and
     # reusing the matrices the eigensolve already needs.  The 1/mu0 == k_j
     # resonance is measure-zero and handled as DISORT does (dither mu0).
-    eye = jnp.eye(n, dtype=dtype)
-    amb = (1.0 / mu)[:, None] * (eye - (cpp + cpm) * w)   # alpha - beta
-    apb = (1.0 / mu)[:, None] * (eye - (cpp - cpm) * w)   # alpha + beta
-    inv_mu0 = (1.0 / mu0)[..., None, None, None]
-    r1 = (x0p + x0m) / mu
-    r2 = (x0p - x0m) / mu
-    mat = apb @ amb - eye * inv_mu0[..., None] ** 2
-    rhs = (
-        jnp.einsum("...ij,...j->...i", apb, r1) - r2 * inv_mu0
+    # Everything runs in the lane layout of ops/lane.py (batch minor).
+    cppl, batch_shape = lane.to_lane(cpp)                 # [N, N, B]
+    cpml, _ = lane.to_lane(cpm)
+    eye = jnp.eye(n, dtype=dtype)[..., None]
+    inv_mu_i = (1.0 / mu)[:, None, None]
+    w_j = w[None, :, None]
+    amb = inv_mu_i * (eye - (cppl + cpml) * w_j)          # alpha - beta
+    apb = inv_mu_i * (eye - (cppl - cpml) * w_j)          # alpha + beta
+
+    nlyr = cpp.shape[-3]
+    mu0_flat = jnp.broadcast_to(
+        mu0[..., None, None], mu0.shape + (nmode, nlyr)
+    ).reshape(-1)                                         # [B]
+    inv_mu0 = 1.0 / mu0_flat
+    r1 = lane.to_lane((x0p + x0m) / mu, 1)[0]             # [N, B]
+    r2 = lane.to_lane((x0p - x0m) / mu, 1)[0]
+    mat = lane.lmatmul(apb, amb) - eye * inv_mu0**2
+    rhs = lane.lmatvec(apb, r1) - r2 * inv_mu0
+    s = lane.lsolve(mat, rhs[:, None, :])[:, 0]
+    d = (r1 - lane.lmatvec(amb, s)) * mu0_flat
+    return BeamSource(
+        lane.from_lane(0.5 * (s + d), batch_shape),
+        lane.from_lane(0.5 * (s - d), batch_shape),
     )
-    s = gauss_solve(mat, rhs[..., None])[..., 0]
-    d = (r1 - jnp.einsum("...ij,...j->...i", amb, s)) * mu0[..., None, None, None]
-    return BeamSource(0.5 * (s + d), 0.5 * (s - d))
 
 
 def _ylm_at(mu0: jnp.ndarray, nmode: int, nmom: int, dtype) -> jnp.ndarray:
@@ -188,19 +199,22 @@ def thermal_particular(
     #   Y0+- = (S0 +- D0)/2,     (alpha-beta) S0 = 2 (1-w0) Btop / mu
     #                            (alpha+beta) D0 = S1
     # — replaces UPISOT's full (2N x 2N) SGECO/SGESL solves.
-    eye = jnp.eye(n, dtype=dtype)
-    amb = (1.0 / mu)[:, None] * (eye - (cpp0 + cpm0) * w)
-    apb = (1.0 / mu)[:, None] * (eye - (cpp0 - cpm0) * w)
+    cppl, batch_shape = lane.to_lane(cpp0)       # [N, N, B], B = batch x L
+    cpml, _ = lane.to_lane(cpm0)
+    eye = jnp.eye(n, dtype=dtype)[..., None]
+    inv_mu_i = (1.0 / mu)[:, None, None]
+    w_j = w[None, :, None]
+    amb = inv_mu_i * (eye - (cppl + cpml) * w_j)
+    apb = inv_mu_i * (eye - (cppl - cpml) * w_j)
     emis = (1.0 - ssalb)[..., None]              # [..., L, 1]
     ones_mu = 1.0 / mu                           # [N] (the 1/mu weighting)
-    rhs1 = 2.0 * emis * b1[..., None] * ones_mu
-    rhs0 = 2.0 * emis * b_top[..., None] * ones_mu
-    both = gauss_solve(amb, jnp.stack([rhs1, rhs0], axis=-1))
-    s1 = both[..., 0]
-    s0 = both[..., 1]
-    d0 = gauss_solve(apb, s1[..., None])[..., 0]
-    y1p = 0.5 * s1
-    y1m = 0.5 * s1
-    y0p = 0.5 * (s0 + d0)
-    y0m = 0.5 * (s0 - d0)
-    return ThermalSource(y0p, y0m, y1p, y1m, b_top, b_bot)
+    rhs1 = lane.to_lane(2.0 * emis * b1[..., None] * ones_mu, 1)[0]
+    rhs0 = lane.to_lane(2.0 * emis * b_top[..., None] * ones_mu, 1)[0]
+    both = lane.lsolve(amb, jnp.stack([rhs1, rhs0], axis=1))   # [N, 2, B]
+    s1 = both[:, 0]
+    s0 = both[:, 1]
+    d0 = lane.lsolve(apb, s1[:, None, :])[:, 0]
+    y1p = lane.from_lane(0.5 * s1, batch_shape)
+    y0p = lane.from_lane(0.5 * (s0 + d0), batch_shape)
+    y0m = lane.from_lane(0.5 * (s0 - d0), batch_shape)
+    return ThermalSource(y0p, y0m, y1p, y1p, b_top, b_bot)
