@@ -1,0 +1,8 @@
+"""Pallas TPU kernels for the solver's hot ops.
+
+XLA fallbacks exist for every kernel (the lax.scan block-Thomas in
+solver/bvp.py); kernels are enabled on TPU backends and validated against
+the fallbacks in tests (interpret mode on CPU).
+"""
+
+from sbdart_tpu.pallas.blocktri import block_thomas  # noqa: F401

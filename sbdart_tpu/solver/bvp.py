@@ -190,10 +190,32 @@ def solve_bvp(
     r_bot = jnp.concatenate([r_botl, r_botL[None]], axis=0)
     rhs = jnp.concatenate([r_top, r_bot], axis=1)              # [L, 2N, B]
 
-    # ---- block-Thomas elimination over layers (lax.scan) ------------------
+    # ---- block-Thomas elimination over layers ------------------------------
+    # TPU: one fused Pallas kernel holds all layers of a batch tile in VMEM
+    # (pallas/blocktri.py); elsewhere: lax.scan fallback (identical math).
+    use_kernel = (
+        jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
+    )
+    if use_kernel:
+        from sbdart_tpu.pallas import block_thomas
+
+        xs = block_thomas(diag, lower, upper, rhs)              # [L, 2N, B]
+    else:
+        xs = block_thomas_scan(diag, lower, upper, rhs)
+    x = _from_scan_lane(xs, batch_shape)                        # [..., m, L, 2N]
+    return BvpSolution(x[..., :n], x[..., n:])
+
+
+def block_thomas_scan(diag, lower, upper, rhs):
+    """lax.scan block-Thomas (XLA fallback for pallas/blocktri.py).
+
+    diag/lower/upper [L, m, m, B], rhs [L, m, B] -> xs [L, m, B].
+    """
+    m2 = diag.shape[1]
     b_flat = rhs.shape[-1]
-    w0 = jnp.zeros((2 * n, 2 * n, b_flat), dtype)
-    y0 = jnp.zeros((2 * n, b_flat), dtype)
+    dtype = diag.dtype
+    w0 = jnp.zeros((m2, m2, b_flat), dtype)
+    y0 = jnp.zeros((m2, b_flat), dtype)
 
     def fwd(carry, inp):
         w_prev, y_prev = carry
@@ -201,8 +223,8 @@ def solve_bvp(
         dt = d_l - lane.lmatmul(a_l, w_prev)
         rt = r_l - lane.lmatvec(a_l, y_prev)
         sol = lane.lsolve(dt, jnp.concatenate([u_l, rt[:, None, :]], axis=1))
-        w_l = sol[:, : 2 * n]
-        y_l = sol[:, 2 * n]
+        w_l = sol[:, :m2]
+        y_l = sol[:, m2]
         return (w_l, y_l), (w_l, y_l)
 
     (_, _), (ws, ys) = jax.lax.scan(fwd, (w0, y0), (diag, lower, upper, rhs))
@@ -214,9 +236,7 @@ def solve_bvp(
 
     x_last = ys[-1]
     _, xs_rev = jax.lax.scan(bwd, x_last, (ws[:-1], ys[:-1]), reverse=True)
-    xs = jnp.concatenate([xs_rev, x_last[None]], axis=0)        # [L, 2N, B]
-    x = _from_scan_lane(xs, batch_shape)                        # [..., m, L, 2N]
-    return BvpSolution(x[..., :n], x[..., n:])
+    return jnp.concatenate([xs_rev, x_last[None]], axis=0)      # [L, m, B]
 
 
 class BoundaryIntensities(NamedTuple):
