@@ -213,7 +213,8 @@ def solve_rte(
 
         uu = compute_radiances(
             eig=eig, sol=sol, beam=beam, thermal=thermal, dm=dm,
-            tau_s=tau_s, expbea_s=expbea_s, tab=tab,
+            tau_s=tau_s, tau_u=tau_u, ssalb_unscaled=ssalb_in,
+            expbea_s=expbea_s, tab=tab,
             fbeam=fbeam, mu0=mu0, phi0=phi0, fisot=fisot, albedo=albedo,
             top_emission=top_emission, surf_emission=surf_emission,
             bounds=bounds, pmom_unscaled=pmom,

@@ -87,6 +87,8 @@ def compute_radiances(
     thermal: ThermalSource | None,
     dm: DeltaMResult,
     tau_s: jnp.ndarray,          # [..., L+1] scaled boundary optical depths
+    tau_u: jnp.ndarray,          # [..., L+1] UNSCALED boundary optical depths
+    ssalb_unscaled: jnp.ndarray,  # [..., L] unscaled single-scatter albedo
     expbea_s: jnp.ndarray,       # [..., L+1]
     tab: AngularTables,
     fbeam: jnp.ndarray,
@@ -339,6 +341,13 @@ def compute_radiances(
             expbea_s=expbea_s, fbeam=fbeam, mu0=mu0, phi0=phi0,
             umu=umu, phi=phi, nstr=nstr, dtype=dtype,
         )
+        if np.any(umu < 0):
+            uu = uu - _ims_correction(
+                dm=dm, pmom_unscaled=pmom_unscaled,
+                ssalb_unscaled=ssalb_unscaled, tau_u=tau_u,
+                fbeam=fbeam, mu0=mu0, phi0=phi0,
+                umu=umu, phi=phi, nstr=nstr, dtype=dtype,
+            )
     return uu
 
 
@@ -433,3 +442,96 @@ def _tms_correction(
     if len(dn_idx) > 0:
         out = out.at[..., list(dn_idx), :].set(scan_generic(dn_idx, downward=True))
     return out
+
+
+def xi_function(u1, u2, u3, tau):
+    """Chi function of secondary scattering (disort.f:XIFUNC, STWL eq. 72),
+    specialised to the IMS use u2 == u3 (the only call site), resonance-safe.
+
+    Xi(u1, u2, u2, tau) = ((tau - 1/x1) e^{-tau/u2} + e^{-tau/u1}/x1)
+                          / (x1 u1 u2),   x1 = 1/u1 - 1/u2,
+    with the u1 -> u2 limit tau^2 e^{-tau/u1} / (2 u1 u2).
+    """
+    x1 = 1.0 / u1 - 1.0 / u2
+    near = jnp.abs(x1 * jnp.maximum(u1, u2)) < 1e-4
+    safe_x1 = jnp.where(near, 1.0, x1)
+    e1 = jnp.exp(-tau / u1)
+    e2 = jnp.exp(-tau / u2)
+    exact = ((tau - 1.0 / safe_x1) * e2 + e1 / safe_x1) / (safe_x1 * u1 * u2)
+    # Taylor in x1 about 0: tau^2 e1 / (2 u1 u2) * (1 - tau x1 / 3)
+    taylor = tau * tau * e1 / (2.0 * u1 * u2) * (1.0 - tau * x1 / 3.0)
+    return jnp.where(near, taylor, exact)
+
+
+def _ims_correction(
+    *, dm: DeltaMResult, pmom_unscaled, ssalb_unscaled, tau_u, fbeam, mu0,
+    phi0, umu: np.ndarray, phi: np.ndarray, nstr: int, dtype,
+) -> jnp.ndarray:
+    """Nakajima–Tanaka IMS secondary-scattering correction (disort.f:SECSCA,
+    STWL eq. A7/A13): the delta-M spike over-counts secondary scattering of
+    the forward peak for downward-viewing radiances near the aureole; this
+    term (to be SUBTRACTED from uu) removes it.  Returns duu[..., L+1, U, P]
+    that is zero at upward-viewing angles.
+
+    All quantities use UNSCALED optical properties, vertically averaged from
+    the top down to each output boundary, exactly as the reference does.
+    """
+    nmom = pmom_unscaled.shape[-1]
+    nlyr = dm.f.shape[-1]
+    umu_j = jnp.asarray(umu, dtype)
+    phi_r = jnp.asarray(np.deg2rad(phi), dtype)
+    su = jnp.sqrt(jnp.clip(1.0 - umu_j**2, 0.0, 1.0))
+    s0 = jnp.sqrt(jnp.clip(1.0 - mu0**2, 0.0, 1.0))
+    cosang = (
+        -mu0[..., None, None] * umu_j[:, None]
+        + s0[..., None, None]
+        * su[:, None]
+        * jnp.cos(jnp.deg2rad(phi0)[..., None, None] - phi_r[None, :])
+    )
+    pl = _legendre_at(cosang, nmom)                     # [lmax, ..., U, P]
+    twol1_full = jnp.asarray(2.0 * np.arange(nmom) + 1.0, dtype)
+
+    def cum0(x):
+        c = jnp.cumsum(x, axis=-1)
+        return jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+
+    w = jnp.asarray(ssalb_unscaled, dtype)
+    dt = jnp.asarray(dm.dtau_unscaled, dtype)
+    wbar_c = cum0(w * dt)                                # [..., L+1]
+    fbar_c = cum0(w * dm.f * dt)
+    stau = tau_u                                         # [..., L+1]
+    tiny = 1e-30
+    fbar = fbar_c / jnp.maximum(wbar_c, tiny)
+    wbar = wbar_c / jnp.maximum(stau, tiny)
+    fw = jnp.clip(fbar * wbar, 0.0, 1.0 - 1e-6)
+
+    # layer-averaged spike moments gbar_K for K >= nstr (gbar = 1 below)
+    gbar_c = cum0(
+        (pmom_unscaled * (w * dt)[..., None]).swapaxes(-1, -2)
+    ).swapaxes(-1, -2)                                   # [..., L+1, nmom]
+    denom = jnp.maximum(fbar_c, tiny)[..., None]
+    gbar = jnp.clip(gbar_c / denom, 0.0, 1.0)
+    kmask = jnp.asarray(np.arange(nmom) >= nstr, dtype)
+    gfac = jnp.where(kmask > 0, 2.0 * gbar - gbar * gbar, 1.0)
+
+    # pspike[..., v, U, P] = sum_K gfac_K (2K+1) P_K(cosang)
+    pspike = jnp.einsum("...vl,l...up->...vup", gfac * twol1_full, pl)
+
+    umu0p = mu0 / (1.0 - fw)                             # [..., L+1]
+    dn = umu_j < 0
+    u1 = jnp.where(dn, -umu_j, 1.0)                      # [U]
+    xi = xi_function(
+        u1[:, None], umu0p[..., None, None], umu0p[..., None, None],
+        stau[..., None, None],
+    )                                                    # [..., v, U, 1]
+
+    amp = (
+        jnp.where(fbeam > 1e-4, fbeam, 0.0)[..., None, None, None]
+        / (4.0 * jnp.pi)
+        * (fw * fw / jnp.maximum(1.0 - fw, 1e-6))[..., None, None]
+    )
+    ok = (
+        (wbar_c > 1e-4) & (fbar_c > 1e-4) & (stau > 1e-4)
+    )[..., None, None]
+    duu = jnp.where(ok & dn[:, None], amp * pspike * xi, 0.0)
+    return duu.astype(dtype)

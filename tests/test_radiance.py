@@ -172,6 +172,74 @@ class TestTmsCorrection:
         assert e_tms < e_lo, (e_tms, e_lo, r)
 
 
+class TestImsCorrection:
+    def test_xi_function_resonance_continuity(self):
+        """Closed form and Taylor limit agree across the switchover."""
+        from sbdart_tpu.solver.radiance import xi_function
+        u2, tau = 0.6, 1.3
+        exact_far = float(xi_function(
+            jnp.float64(u2 * 1.01), jnp.float64(u2), jnp.float64(u2),
+            jnp.float64(tau)))
+        near = float(xi_function(
+            jnp.float64(u2 * (1 + 1e-5)), jnp.float64(u2), jnp.float64(u2),
+            jnp.float64(tau)))
+        limit = tau**2 * np.exp(-tau / u2) / (2 * u2 * u2)
+        assert abs(near - limit) < 1e-4 * limit
+        assert abs(exact_far - limit) < 2e-2 * limit
+        assert near > 0 and exact_far > 0
+
+    def test_ims_term_structure(self):
+        """IMS term: zero at upward angles and at the top boundary, positive
+        in the downward aureole for a truncated forward-peaked phase."""
+        from sbdart_tpu.solver.deltam import apply_deltam
+        from sbdart_tpu.solver.radiance import _ims_correction
+        g, nstr, nmom = 0.9, 8, 64
+        mom = jnp.asarray(hg_moments(g, nmom))
+        nl = 3
+        dtau = jnp.full((nl,), 1.0, jnp.float64)
+        w0 = jnp.full((nl,), 0.95, jnp.float64)
+        pm = jnp.tile(mom, (nl, 1))
+        dm = apply_deltam(dtau, w0, pm, nstr)
+        tau_u = jnp.concatenate([
+            jnp.zeros(1), jnp.cumsum(dm.dtau_unscaled)])
+        umu = np.array([-0.45, -0.9, 0.5])
+        phi = np.array([0.0, 180.0])
+        duu = np.asarray(_ims_correction(
+            dm=dm, pmom_unscaled=pm, ssalb_unscaled=w0, tau_u=tau_u,
+            fbeam=jnp.float64(1.0), mu0=jnp.float64(0.5),
+            phi0=jnp.float64(0.0), umu=umu, phi=phi, nstr=nstr,
+            dtype=jnp.float64,
+        ))
+        assert duu.shape == (nl + 1, 3, 2)
+        np.testing.assert_allclose(duu[:, 2], 0.0)      # upward angle: zero
+        np.testing.assert_allclose(duu[0], 0.0)         # top boundary: zero
+        # forward-aureole angle (-0.45, phi=0) below the first layer
+        assert duu[1:, 0, 0].min() > 0.0
+        # away from the aureole (phi=180) the correction is tiny compared
+        # to the near-forward peak value
+        assert np.abs(duu[1:, 0, 1]).max() < 1e-2 * duu[1:, 0, 0].max()
+        assert np.isfinite(duu).all()
+
+    def test_corint_improves_downward_aureole(self):
+        """TMS+IMS at low nstr: downward near-forward radiance approaches a
+        high-nstr reference better than the uncorrected value."""
+        g = 0.9
+        mom = hg_moments(g, 130)
+        kw = dict(fbeam=1.0, umu0=0.5, albedo=0.0)
+        umu = [-0.45]
+        phi = [0.0]
+        ref = run_rad([2.0], 0.95, mom, 64, umu=umu, phi=phi,
+                      corint=False, **kw)
+        lo = run_rad([2.0], 0.95, mom, 8, umu=umu, phi=phi,
+                     corint=False, **kw)
+        cor = run_rad([2.0], 0.95, mom, 8, umu=umu, phi=phi,
+                      corint=True, **kw)
+        r = float(np.asarray(ref.uu)[1, 0, 0])
+        e_lo = abs(float(np.asarray(lo.uu)[1, 0, 0]) - r)
+        e_cor = abs(float(np.asarray(cor.uu)[1, 0, 0]) - r)
+        assert e_cor < e_lo, (e_cor, e_lo, r)
+
+
 class TestSelfConvergence:
     def test_nstr_convergence(self):
         """Fluxes converge as nstr grows (Richardson-style sanity)."""
