@@ -5,4 +5,7 @@ solver/bvp.py); kernels are enabled on TPU backends and validated against
 the fallbacks in tests (interpret mode on CPU).
 """
 
-from sbdart_tpu.pallas.blocktri import block_thomas  # noqa: F401
+from sbdart_tpu.pallas.blocktri import (  # noqa: F401
+    block_thomas,
+    block_thomas_rt,
+)

@@ -134,7 +134,6 @@ def solve_bvp(
     gp = _to_scan_lane(eig.gp, 2)
     gm = _to_scan_lane(eig.gm, 2)
     ee = _to_scan_lane(ee_std, 1)
-    e_col = ee[:, None, :, :]                      # scale eigenmode columns
 
     p_tu = _to_scan_lane(part.top_up, 1)
     p_td = _to_scan_lane(part.top_dn, 1)
@@ -152,28 +151,7 @@ def solve_bvp(
         * mode0[None, :]
     )                                              # [N, B]
 
-    # ---- diagonal blocks --------------------------------------------------
-    d_top = jnp.concatenate([gm, gp * e_col], axis=2)          # [L, N, 2N, B]
-    d_bot = jnp.concatenate([gp * e_col, gm], axis=2)
-    # surface reflection correction on the last layer's bottom rows:
-    # row_i gains -sum_k w_k mu_k R_m[i,k] * (downward hom. solution)_kj
-    refl_a = lane.lmatmul(srefl * wmu[None], gm[-1] * e_col[-1])
-    refl_b = lane.lmatmul(srefl * wmu[None], gp[-1])
-    refl = jnp.concatenate([refl_a, refl_b], axis=1)           # [N, 2N, B]
-    d_bot = d_bot.at[-1].add(-refl)
-    diag = jnp.concatenate([d_top, d_bot], axis=1)             # [L, 2N, 2N, B]
-
-    # ---- lower blocks (couple x_{l-1}); nonzero in top rows, l >= 1 -------
-    low_top = jnp.concatenate([gm * e_col, gp], axis=2)        # layer l-1 view
-    lower = jnp.concatenate([-low_top, jnp.zeros_like(low_top)], axis=1)
-    lower = jnp.concatenate(
-        [jnp.zeros_like(lower[:1]), lower[:-1]], axis=0
-    )
-
-    # ---- upper blocks (couple x_{l+1}); nonzero in bottom rows, l <= L-2 --
-    up_bot = jnp.concatenate([gp, gm * e_col], axis=2)         # layer l+1 view
-    upper = jnp.concatenate([jnp.zeros_like(up_bot), -up_bot], axis=1)
-    upper = jnp.concatenate([upper[1:], jnp.zeros_like(upper[:1])], axis=0)
+    refl_op = srefl * wmu[None]                    # [N, N, B] R[i,k] w_k mu_k
 
     # ---- right-hand side --------------------------------------------------
     # top rows: l=0 -> (fisot + top emission) - Ip_dn(top of 0)
@@ -185,25 +163,59 @@ def solve_bvp(
     # bottom rows: l<L-1 -> Ip_up(top of l+1) - Ip_up(bottom of l)
     #              l=L-1 -> surface terms - Ip_up(bottom) + refl of Ip_dn(bottom)
     r_botl = p_tu[1:] - p_bu[:-1]
-    refl_part = lane.lmatvec(srefl * wmu[None], p_bd[-1])
+    refl_part = lane.lmatvec(refl_op, p_bd[-1])
     r_botL = semis + bref + refl_part - p_bu[-1]
     r_bot = jnp.concatenate([r_botl, r_botL[None]], axis=0)
     rhs = jnp.concatenate([r_top, r_bot], axis=1)              # [L, 2N, B]
 
     # ---- block-Thomas elimination over layers ------------------------------
-    # TPU: one fused Pallas kernel holds all layers of a batch tile in VMEM
-    # (pallas/blocktri.py); elsewhere: lax.scan fallback (identical math).
+    # TPU: one fused Pallas kernel assembles the blocks from gp/gm/ee ON THE
+    # FLY and holds all layers of a batch tile in VMEM (pallas/blocktri.py) —
+    # the assembled [L, 2N, 2N, B] blocks (the largest tensors in the flux
+    # hot path) never touch HBM.  Elsewhere: assemble + lax.scan fallback
+    # (identical math).
     use_kernel = (
         jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
     )
     if use_kernel:
-        from sbdart_tpu.pallas import block_thomas
+        from sbdart_tpu.pallas import block_thomas_rt
 
-        xs = block_thomas(diag, lower, upper, rhs)              # [L, 2N, B]
+        xs = block_thomas_rt(gp, gm, ee, refl_op, rhs)          # [L, 2N, B]
     else:
+        diag, lower, upper = assemble_blocks(gp, gm, ee, refl_op)
         xs = block_thomas_scan(diag, lower, upper, rhs)
     x = _from_scan_lane(xs, batch_shape)                        # [..., m, L, 2N]
     return BvpSolution(x[..., :n], x[..., n:])
+
+
+def assemble_blocks(gp, gm, ee, refl_op):
+    """Materialize the block-tridiagonal operator (SETMTX equivalent).
+
+    gp/gm [L, N, N, B], ee [L, N, B], refl_op [N, N, B] (R[i,k] w_k mu_k)
+    -> (diag, lower, upper) each [L, 2N, 2N, B].  The XLA fallback path for
+    pallas/blocktri.py:block_thomas_rt, which fuses this assembly.
+    """
+    e_col = ee[:, None, :, :]
+    d_top = jnp.concatenate([gm, gp * e_col], axis=2)          # [L, N, 2N, B]
+    d_bot = jnp.concatenate([gp * e_col, gm], axis=2)
+    # surface reflection correction on the last layer's bottom rows:
+    # row_i gains -sum_k w_k mu_k R_m[i,k] * (downward hom. solution)_kj
+    refl_a = lane.lmatmul(refl_op, gm[-1] * e_col[-1])
+    refl_b = lane.lmatmul(refl_op, gp[-1])
+    refl = jnp.concatenate([refl_a, refl_b], axis=1)           # [N, 2N, B]
+    d_bot = d_bot.at[-1].add(-refl)
+    diag = jnp.concatenate([d_top, d_bot], axis=1)             # [L, 2N, 2N, B]
+
+    # lower blocks (couple x_{l-1}); nonzero in top rows, l >= 1
+    low_top = jnp.concatenate([gm * e_col, gp], axis=2)        # layer l-1 view
+    lower = jnp.concatenate([-low_top, jnp.zeros_like(low_top)], axis=1)
+    lower = jnp.concatenate([jnp.zeros_like(lower[:1]), lower[:-1]], axis=0)
+
+    # upper blocks (couple x_{l+1}); nonzero in bottom rows, l <= L-2
+    up_bot = jnp.concatenate([gp, gm * e_col], axis=2)         # layer l+1 view
+    upper = jnp.concatenate([jnp.zeros_like(up_bot), -up_bot], axis=1)
+    upper = jnp.concatenate([upper[1:], jnp.zeros_like(upper[:1])], axis=0)
+    return diag, lower, upper
 
 
 def block_thomas_scan(diag, lower, upper, rhs):
