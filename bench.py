@@ -1,16 +1,27 @@
-"""Benchmark: spectral band-columns per second per chip.
+"""Benchmark: spectral band-columns per second per chip (+ kernel rooflines).
 
-Runs the flux-mode discrete-ordinates solve (the framework's hot path —
-the equivalent of SBDART's DISORT call, which dominates its runtime; see
-SURVEY.md section 4.2) on one chip, batched over (band-columns x 3 k-terms),
-nstr=4, 33 layers — the shape of BASELINE configs 1/5.
+Primary metric: flux-mode discrete-ordinates solves (the framework's hot
+path — the equivalent of SBDART's DISORT call, which dominates its runtime;
+see SURVEY.md section 4.2) on one chip, batched over (band-columns x 3
+k-terms), nstr=4, 33 layers — the shape of BASELINE configs 1/5.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extras (BASELINE.json named metrics, recorded in the same JSON line):
+  nstr16_nlyr65_bc_per_s  throughput at the BASELINE config-3/4 shape
+                          (nstr=16, 65 layers, flux mode)
+  bvp_fused_sol_pct       bandwidth %SOL of the FUSED production BVP kernel
+                          (pallas/blocktri.py:block_thomas_rt — assembles
+                          SETMTX blocks on the fly; min traffic = eigen
+                          quantities in + solution out)
+  eig_lane_sol_pct        FLOP-model %SOL of the lane eigensolve stage
+                          (ops/lane.py leigh chain) against the VPU f32 peak
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
-denominator is a documented estimate of serial Fortran SBDART throughput on
-one CPU core (~2000 band-columns/s for nstr=4, ~33 layers — "a broadband
-run of ~10^3-10^4 DISORT calls takes seconds", SURVEY.md section 7).
+denominator is the BUILDER'S OWN ESTIMATE of serial Fortran SBDART
+throughput on one CPU core (~2000 band-columns/s for nstr=4, ~33 layers —
+"a broadband run of ~10^3-10^4 DISORT calls takes seconds", SURVEY.md
+section 7) — treat the ratio as an order-of-magnitude indicator only.
 """
 
 from __future__ import annotations
@@ -26,46 +37,45 @@ import numpy as np
 
 FORTRAN_EST_BAND_COLS_PER_SEC = 2000.0
 
+# v5e (TPU v5 lite): ~819 GB/s HBM; VPU f32 ~ 8x128x4 ALUs @ ~0.94 GHz.
+HBM_PEAK_GBS = {"v5 lite": 819.0, "v5litepod": 819.0, "v4": 1228.0}
+DEFAULT_HBM_GBS = 819.0
+VPU_F32_TFLOPS = 3.85
 
-def main() -> None:
+
+def _timeit(fn, *args, n=4):
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    np.asarray(np.asarray(jax.tree.leaves(r)[0]).ravel()[:1])  # axon defers
+    t0 = time.perf_counter()
+    for _ in range(n):
+        jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def _throughput(nstr: int, nlyr: int, nbc: int, K: int = 8) -> float:
+    """Chained flux solves; returns band-columns/s (x nk k-terms inside)."""
     import jax
     import jax.numpy as jnp
 
     from sbdart_tpu.solver.disort import solve_rte
 
-    nlyr, nstr, nk = 33, 4, 3
-    nbc = 16384            # band-columns per launch
+    nk = 3
     rng = np.random.default_rng(0)
     dtype = jnp.float32
-
     shape = (nbc, nk, nlyr)
     dtau = jnp.asarray(rng.uniform(0.001, 0.6, shape), dtype)
     ssalb = jnp.asarray(rng.uniform(0.05, 0.999, shape), dtype)
     g = rng.uniform(0.0, 0.85, (nbc, 1, nlyr))
     pmom = jnp.asarray(
-        np.broadcast_to(
-            g[..., None] ** np.arange(nstr + 1), shape + (nstr + 1,)
-        ),
+        np.broadcast_to(g[..., None] ** np.arange(nstr + 1), shape + (nstr + 1,)),
         dtype,
     )
     fbeam = jnp.ones((nbc, 1), dtype)
     umu0 = jnp.asarray(rng.uniform(0.2, 1.0, (nbc, 1)), dtype)
     albedo = jnp.asarray(rng.uniform(0.0, 0.8, (nbc, 1)), dtype)
-
-    fn = jax.jit(functools.partial(
-        solve_rte, nstr=nstr, onlyfl=True, dtype=dtype
-    ))
-
-    out = fn(dtau, ssalb, pmom, fbeam=fbeam, umu0=umu0, albedo=albedo)
-    jax.block_until_ready(out)
-    flup = np.asarray(out.flup)
-    assert np.isfinite(flup).all(), "bench outputs not finite — no timing"
-    assert flup.max() > 0.0
-
-    # Sustained throughput: chain K solves inside one executable (as the
-    # production spectral pipeline does) so the per-dispatch host-sync RTT
-    # of the tunneled chip (~25 ms) is amortized out of the measurement.
-    K = 8
 
     @jax.jit
     def chained(dtau, ssalb, pmom, fbeam, umu0, albedo):
@@ -81,21 +91,111 @@ def main() -> None:
         )
         return acc
 
-    r = chained(dtau, ssalb, pmom, fbeam, umu0, albedo)
-    jax.block_until_ready(r)
-    np.asarray(np.asarray(r).ravel()[:1])  # realize the stream (axon defers)
-    n_iter = 4
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        jax.block_until_ready(chained(dtau, ssalb, pmom, fbeam, umu0, albedo))
-    dt = time.perf_counter() - t0
-    rate = nbc * n_iter * K / dt
+    out = chained(dtau, ssalb, pmom, fbeam, umu0, albedo)
+    flup = np.asarray(out)
+    assert np.isfinite(flup).all(), "bench outputs not finite — no timing"
+    t = _timeit(chained, dtau, ssalb, pmom, fbeam, umu0, albedo)
+    return nbc * K / t
+
+
+def _bvp_fused_sol(nlyr=65, n=8, b=8192, K=16) -> float:
+    """Bandwidth %SOL of the fused SETMTX+SOLVE0 kernel at the nstr=16 shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from sbdart_tpu.pallas.blocktri import block_thomas_rt
+
+    if jax.default_backend() != "tpu":
+        return float("nan")
+    rng = np.random.default_rng(1)
+    gm = jnp.asarray(
+        rng.normal(size=(nlyr, n, n, b)) * 0.15 + 2 * np.eye(n)[None, :, :, None],
+        jnp.float32,
+    )
+    gp = jnp.asarray(rng.normal(size=(nlyr, n, n, b)) * 0.15, jnp.float32)
+    ee = jnp.asarray(rng.uniform(0.05, 0.8, (nlyr, n, b)), jnp.float32)
+    refl = jnp.asarray(rng.uniform(0, 0.2, (n, n, b)), jnp.float32)
+    rhs = jnp.asarray(rng.normal(size=(nlyr, 2 * n, b)), jnp.float32)
+
+    @jax.jit
+    def chain(gp, gm, ee, refl, rhs):
+        def body(r, _):
+            xs = block_thomas_rt(gp, gm, ee, refl, rhs * (1 + 1e-6 * r[0, 0]))
+            return xs, ()
+        out, _ = jax.lax.scan(body, rhs, None, length=K)
+        return out
+
+    t = _timeit(chain, gp, gm, ee, refl, rhs) / K
+    # min HBM traffic: gp+gm (2 n^2 L) + ee (n L) + rhs in / xs out (2n L each)
+    # + refl (n^2), all x b x 4 bytes
+    bytes_min = ((2 * n * n + n + 2 * n + 2 * n) * nlyr + n * n) * b * 4
+    device = jax.devices()[0]
+    peak = DEFAULT_HBM_GBS
+    for k, v in HBM_PEAK_GBS.items():
+        if k in str(device).lower():
+            peak = v
+    return 100.0 * (bytes_min / t / 1e9) / peak
+
+
+def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
+    """FLOP-model %SOL of the lane eigensolve chain vs the VPU f32 peak.
+
+    FLOP model per (layer, mode) matrix of size n = nstr/2: Cholesky n^3/3,
+    Jacobi 10 sweeps x n(n-1)/2 rotations x ~12n flops, triangular solve
+    n^3, assembly matmuls ~4 n^3 — an analytic estimate, so the %SOL is an
+    order-of-magnitude efficiency indicator, not a measured roofline.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sbdart_tpu.solver.eig import angular_tables, solve_eigen
+
+    if jax.default_backend() != "tpu":
+        return float("nan")
+    n = nstr // 2
+    tab = angular_tables(nstr, 1)
+    rng = np.random.default_rng(2)
+    ssalb = jnp.asarray(rng.uniform(0.1, 0.999, (b, nlyr)), jnp.float32)
+    gg = rng.uniform(0.0, 0.85, (b, nlyr))
+    gl = jnp.asarray(gg[..., None] ** np.arange(nstr), jnp.float32)
+
+    @jax.jit
+    def chain(ssalb, gl):
+        def body(acc, _):
+            e = solve_eigen(
+                ssalb * (1 + 1e-6 * acc), gl, tab, jnp.float32,
+                eig_method="lane",
+            )
+            return jnp.mean(e.kk), ()
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=K)
+        return out
+
+    t = _timeit(chain, ssalb, gl) / K
+    nmat = b * nlyr
+    flops = nmat * (
+        n**3 / 3.0 + 10 * (n * (n - 1) / 2) * 12 * n + n**3 + 4 * n**3
+    )
+    return 100.0 * (flops / t / 1e12) / VPU_F32_TFLOPS
+
+
+def main() -> None:
+    rate4 = _throughput(nstr=4, nlyr=33, nbc=16384)
+    rate16 = _throughput(nstr=16, nlyr=65, nbc=2048)
+    sol_bvp = _bvp_fused_sol()
+    sol_eig = _eig_lane_sol()
 
     print(json.dumps({
         "metric": "band_columns_per_sec_per_chip",
-        "value": round(rate, 1),
+        "value": round(rate4, 1),
         "unit": "band-columns/s (nstr=4, nlyr=33, 3 k-terms, f32)",
-        "vs_baseline": round(rate / FORTRAN_EST_BAND_COLS_PER_SEC, 2),
+        "vs_baseline": round(rate4 / FORTRAN_EST_BAND_COLS_PER_SEC, 2),
+        "extras": {
+            "baseline_note": "denominator 2000/s is the builder's own "
+                             "estimate of serial Fortran (no published refs)",
+            "nstr16_nlyr65_bc_per_s": round(rate16, 1),
+            "bvp_fused_sol_pct": None if sol_bvp != sol_bvp else round(sol_bvp, 1),
+            "eig_lane_sol_pct": None if sol_eig != sol_eig else round(sol_eig, 1),
+        },
     }))
 
 

@@ -206,9 +206,27 @@ def apply_scalings(profile: Profile, cfg: Config) -> Profile:
     return prof2
 
 
+def insert_levels(profile: Profile, z_extra) -> Profile:
+    """Insert altitudes into the level grid (interpolating the profile).
+
+    The reference folds the zout output altitudes into its zgrid so DISORT
+    reports fluxes exactly there (sbdart.f ZGRID + disort.f USRTAU);
+    inserting them as levels reproduces that without a separate utau path.
+    """
+    z = profile.z
+    extra = [
+        float(ze) for ze in np.atleast_1d(z_extra)
+        if z[-1] < ze < z[0] and np.abs(z - ze).min() > 1e-6
+    ]
+    if not extra:
+        return profile
+    z_new = np.sort(np.unique(np.concatenate([z, extra])))[::-1]
+    return _interp_profile(profile, z_new)
+
+
 def build_profile(cfg: Config, user: Profile | None = None) -> Profile:
     """Full profile assembly: select model / user profile, blend (amix),
-    regrid, rescale."""
+    regrid, rescale, and insert the zout output altitudes as grid levels."""
     if cfg.idatm == 0:
         if user is None:
             user = load_atms_dat("atms.dat")
@@ -229,5 +247,6 @@ def build_profile(cfg: Config, user: Profile | None = None) -> Profile:
                 a * u_on_m.wo + (1 - a) * prof.wo,
             )
     prof = regrid(prof, cfg.ngrid, cfg.zgrid1, cfg.zgrid2)
+    prof = insert_levels(prof, cfg.zout)
     prof = apply_scalings(prof, cfg)
     return prof

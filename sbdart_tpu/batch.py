@@ -146,15 +146,18 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
 
     # scattering components for in-jit recombination ([nwl, nlyr, nmom])
     from sbdart_tpu.rayleigh import rayleigh_moments
-    lidx = np.arange(nmom)
     mom_r = deck.tau_ray[..., None] * rayleigh_moments(nmom)
-    # cloud & aerosol HG moment tensors need (w0, g) — from the producers
+    # cloud & aerosol moment tensors need (w0, g) — from the producers
     from sbdart_tpu.clouds import cloud_optical_properties
     from sbdart_tpu.aerosols import aerosol_optical_properties
+    from sbdart_tpu.optics import component_moments
     tau_c, w0_c, g_c = cloud_optical_properties(profile, cfg, wl)
     tau_a, w0_a, g_a = aerosol_optical_properties(profile, cfg, wl)
-    mom_c = (w0_c * tau_c)[..., None] * g_c[..., None] ** lidx
-    mom_a = (w0_a * tau_a)[..., None] * g_a[..., None] ** lidx
+    pmaer = np.asarray([p for p in cfg.pmaer], np.float64)
+    mom_c = (w0_c * tau_c)[..., None] * component_moments(g_c, cfg.imomc, nmom)
+    mom_a = (w0_a * tau_a)[..., None] * component_moments(
+        g_a, cfg.imoma, nmom, user_moments=pmaer if pmaer.size else None
+    )
 
     nwl = len(wl)
     nchunk = -(-nwl // band_chunk)
@@ -217,7 +220,8 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
                 dtau, ssalb, pmom,
                 nstr=cfg.nstr,
                 fbeam=fbeam, umu0=csza, fisot=cfg.fisot,
-                albedo=albs * ch["alb"][None, :, None],
+                # perturbation scalings must not push albedo past 1
+                albedo=jnp.clip(albs * ch["alb"][None, :, None], 0.0, 1.0),
                 planck=any_thermal,
                 temper=temper_c,
                 wvnlo=ch["wvnlo"][None, :, None],
@@ -258,12 +262,24 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
 
     def prepare_and_run(params_np: dict) -> tuple:
         # stack params into one [P, C] array so the shard_map spec is simple
-        tree = jnp.stack(
-            [jnp.asarray(params_np[k], dtype) for k in names], axis=0
-        )
+        tree = np.stack([np.asarray(params_np[k]) for k in names], axis=0)
+        if jax.process_count() > 1:
+            # multihost: `tree` holds THIS process's columns; assemble the
+            # global sharded array from the per-process shards
+            from jax.sharding import NamedSharding
+
+            sharding = NamedSharding(mesh, P(None, "data"))
+            tree = jax.make_array_from_process_local_data(
+                sharding, tree.astype(dtype)
+            )
+        else:
+            tree = jnp.asarray(tree, dtype)
         return jitted(stacked, tree)
 
-    return prepare_and_run, dict(profile=profile, wl=wl, mesh=mesh)
+    return prepare_and_run, dict(
+        profile=profile, wl=wl, mesh=mesh,
+        jitted=jitted, stacked=stacked, names=names, nlev=nlev,
+    )
 
 
 def run_batch(

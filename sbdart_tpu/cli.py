@@ -28,10 +28,13 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from sbdart_tpu.namelist import load_namelist
-    from sbdart_tpu.outputs import format_iout
-    from sbdart_tpu.pipeline import run_pipeline
+    from sbdart_tpu.outputs import format_albtrn, format_iout
+    from sbdart_tpu.pipeline import run_albtrn, run_pipeline
 
     cfg = load_namelist(path).validate()
+    if cfg.ibcnd == 1:
+        sys.stdout.write(format_albtrn(run_albtrn(cfg)))
+        return 0
     res = run_pipeline(cfg)
     sys.stdout.write(format_iout(res))
     return 0

@@ -129,6 +129,14 @@ def load_usrcld_dat(path: str, nlyr: int) -> np.ndarray:
 
 def apply_cloud_humidity(profile: Profile, cfg: Config) -> Profile:
     """rhcld: set in-cloud relative humidity (affects gas absorption)."""
+    if cfg.krhclr != 0:
+        # taucloud.f's clear-layer RH adjustment variant; its exact semantics
+        # are unverifiable while the reference mount is empty — refuse rather
+        # than silently guess (work-or-raise policy).
+        raise NotImplementedError(
+            "krhclr != 0 (clear-layer relative-humidity adjustment) is not "
+            "implemented; unset krhclr or adjust the profile explicitly"
+        )
     if cfg.rhcld < 0:
         return profile
     spans = _slot_spans(cfg)

@@ -6,8 +6,9 @@ MXU) is the native fast path.  Policy:
 
   - tests / CPU golden comparisons: float64 (beats the f32 Fortran reference
     on accuracy, so the rtol 1e-5 parity gate is comfortable),
-  - TPU production runs: float32 by default (validated against the f64 path
-    in tests/test_solver_battery.py::test_f32_matches_f64),
+  - TPU production runs: float32 by default (the lane-eig + fused-kernel
+    f32 path is validated end-to-end against the f64 XLA path in
+    tests/test_f32_path.py::test_f32_production_path_matches_f64),
   - overridable via `SBDART_TPU_DTYPE=float32|float64` or per-call.
 """
 

@@ -34,6 +34,49 @@ class OpticalDeck(NamedTuple):
     tau_aer: np.ndarray  # [nwl, nlyr]
 
 
+def component_moments(
+    g: np.ndarray,           # [nwl, nlyr] asymmetry parameter
+    imom: int,
+    nmom: int,
+    user_moments: np.ndarray | None = None,   # [nmom_user] (l = 1..)
+) -> np.ndarray:
+    """Phase-function moments for one scattering component — the
+    disort.f:GETMOM equivalent driven by the namelist imomc/imoma selectors.
+
+      imom = 1: isotropic
+      imom = 2: Rayleigh
+      imom = 3: Henyey-Greenstein from g (the reference default)
+
+    `user_moments` (the pmaer namelist array, moments for l >= 1 with
+    g_0 = 1 implied) overrides the selector when present.  Other imom
+    values raise: the reference's haze-L / cloud-C1 GETMOM entries are
+    disotest-battery fixtures, not physics the driver exposes.
+    """
+    nwl, nlyr = g.shape
+    if user_moments is not None and len(user_moments) > 0:
+        m = np.zeros((nwl, nlyr, nmom))
+        m[..., 0] = 1.0
+        um = np.asarray(user_moments, np.float64)[: nmom - 1]
+        m[..., 1: 1 + len(um)] = um
+        return m
+    if imom == 1:
+        m = np.zeros((nwl, nlyr, nmom))
+        m[..., 0] = 1.0
+        return m
+    if imom == 2:
+        m = np.zeros((nwl, nlyr, nmom))
+        m[..., 0] = 1.0
+        if nmom > 2:
+            m[..., 2] = 0.1
+        return m
+    if imom == 3:
+        return g[..., None] ** np.arange(nmom)
+    raise NotImplementedError(
+        f"imomc/imoma={imom} is not implemented (supported: 1 isotropic, "
+        "2 Rayleigh, 3 Henyey-Greenstein; or user moments via pmaer)"
+    )
+
+
 def build_optical_deck(
     profile: Profile,
     cfg: Config,
@@ -64,11 +107,14 @@ def build_optical_deck(
     ssalb = scat[:, None, :] / np.maximum(dtau, 1e-30)
     ssalb = np.clip(ssalb, 0.0, 1.0)
 
-    # phase moments: Rayleigh exact + HG for cloud & aerosol
-    lidx = np.arange(nmom)
+    # phase moments: Rayleigh exact; cloud/aerosol per imomc/imoma (+ pmaer)
     mom_r = rayleigh_moments(nmom)                         # [nmom]
-    mom_c = g_c[..., None] ** lidx                         # [nwl, nlyr, nmom]
-    mom_a = g_a[..., None] ** lidx
+    mom_c = component_moments(g_c, cfg.imomc, nmom)        # [nwl, nlyr, nmom]
+    pmaer = np.asarray([p for p in cfg.pmaer], np.float64)
+    mom_a = component_moments(
+        g_a, cfg.imoma, nmom,
+        user_moments=pmaer if pmaer.size else None,
+    )
     num = (
         scat_r[..., None] * mom_r
         + scat_c[..., None] * mom_c

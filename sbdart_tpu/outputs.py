@@ -29,21 +29,60 @@ def integrate_spectral(res: SpectralResult, field: np.ndarray) -> np.ndarray:
     return np.einsum("w,w...->...", w, field)
 
 
+def _level_interp(res: SpectralResult, z_km: float):
+    """(i_lo, i_hi, frac) for linear interpolation of level fields at z_km.
+
+    Levels are TOA-first (z descending).  zout outside the column clamps to
+    the nearest boundary.  When z_km coincides with a grid level (the usual
+    case — build_profile inserts zout altitudes into the grid) this
+    degenerates to an exact level pick, matching the reference's zout
+    semantics (sbdart.f inserts zout into the zgrid; disort.f USRTAU).
+    """
+    z = res.profile.z
+    if z_km >= z[0]:
+        return 0, 0, 0.0
+    if z_km <= z[-1]:
+        n = len(z) - 1
+        return n, n, 0.0
+    i_hi = int(np.searchsorted(-z, -z_km, side="left"))   # first z <= z_km
+    i_lo = i_hi - 1
+    frac = (z[i_lo] - z_km) / (z[i_lo] - z[i_hi])
+    if frac < 1e-9:
+        return i_lo, i_lo, 0.0
+    if frac > 1 - 1e-9:
+        return i_hi, i_hi, 0.0
+    return i_lo, i_hi, float(frac)
+
+
+def at_altitude(res: SpectralResult, field: np.ndarray, z_km: float) -> np.ndarray:
+    """Interpolate a [nwl, nlev, ...] level field to altitude z_km."""
+    i_lo, i_hi, frac = _level_interp(res, z_km)
+    return (1.0 - frac) * field[:, i_lo] + frac * field[:, i_hi]
+
+
 def summary_fluxes(res: SpectralResult) -> dict:
-    """topdn/topup/topdir/botdn/botup/botdir per wavelength at zout levels."""
-    bot = res.level_index(res.cfg.zout[0])
-    top = res.level_index(res.cfg.zout[1])
+    """topdn/topup/topdir/botdn/botup/botdir per wavelength at zout levels.
+
+    Fields are interpolated linearly in altitude between the bracketing
+    levels; exact when zout falls on a grid level (build_profile inserts
+    zout into the grid, so within the standard pipeline this is always
+    exact — the interpolation covers user-supplied profiles).
+    """
+    zbot, ztop = float(res.cfg.zout[0]), float(res.cfg.zout[1])
     ftot_dn = res.fdir + res.fdn
-    return {
-        "topdn": ftot_dn[:, top],
-        "topup": res.fup[:, top],
-        "topdir": res.fdir[:, top],
-        "botdn": ftot_dn[:, bot],
-        "botup": res.fup[:, bot],
-        "botdir": res.fdir[:, bot],
-        "lev_top": top,
-        "lev_bot": bot,
+    out = {
+        "topdn": at_altitude(res, ftot_dn, ztop),
+        "topup": at_altitude(res, res.fup, ztop),
+        "topdir": at_altitude(res, res.fdir, ztop),
+        "botdn": at_altitude(res, ftot_dn, zbot),
+        "botup": at_altitude(res, res.fup, zbot),
+        "botdir": at_altitude(res, res.fdir, zbot),
+        # nearest levels, for the radiance blocks (radiances are reported at
+        # grid levels; with zout inserted into the grid these are exact)
+        "lev_top": res.level_index(ztop),
+        "lev_bot": res.level_index(zbot),
     }
+    return out
 
 
 def heating_rates(res: SpectralResult) -> tuple[np.ndarray, np.ndarray]:
@@ -84,6 +123,23 @@ def _radiance_block(res: SpectralResult, lev: int, wi=None) -> str:
     out.write(_fmt_row(res.phi) + "\n")
     for i in range(len(uz)):
         out.write(_fmt_row([uz[i]] + list(uu[i])) + "\n")
+    return out.getvalue()
+
+
+def format_albtrn(res) -> str:
+    """ibcnd=1 output: per wavelength, rows of (uzen, albedo, transmission).
+
+    Format is provisional (the reference exposes IBCND=1 only indirectly;
+    disort.f:ALBTRN documents the quantities, not a print format).
+    """
+    out = io.StringIO()
+    uzen = np.rad2deg(np.arccos(np.clip(res.umu, -1.0, 1.0)))
+    for i, wl in enumerate(res.wl):
+        out.write(f"{wl:12.5g}  {len(res.umu):4d}\n")
+        for j in range(len(res.umu)):
+            out.write(
+                _fmt_row([uzen[j], res.albmed[i, j], res.trnmed[i, j]]) + "\n"
+            )
     return out.getvalue()
 
 

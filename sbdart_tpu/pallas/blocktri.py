@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -108,11 +109,18 @@ def _kernel(diag_ref, lower_ref, upper_ref, rhs_ref, xs_ref, ws_ref, ys_ref):
 
 def _tile_for_vmem(floats_per_lane: int, tile_b: int) -> int:
     """Largest lane-tile (multiple of 128, <= tile_b) whose working set fits
-    the ~16 MB VMEM budget (with headroom for Mosaic double buffering)."""
+    the ~16 MB VMEM budget (with headroom for Mosaic double buffering).
+
+    Returns 0 when even a 128-lane tile does not fit — callers must then
+    stream the layer axis (block_thomas_rt does, via the two-pass chunked
+    kernels below) instead of holding the whole column in VMEM.
+    """
     budget = 12 * 1024 * 1024
     tb = budget // (4 * floats_per_lane)
-    tb = max(128, min(tile_b, (tb // 128) * 128))
-    return tb
+    tb = (tb // 128) * 128
+    if tb == 0:
+        return 0
+    return min(tile_b, tb)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
@@ -132,6 +140,12 @@ def block_thomas(
     # per-lane f32 working set: 3 block mats + rhs + xs + ws/ys scratch,
     # with input double-buffering headroom folded into _tile_for_vmem
     tb = _tile_for_vmem(nlyr * (7 * m * m + 3 * m), min(tile_b, max(128, b)))
+    if tb == 0:
+        raise ValueError(
+            f"block_thomas working set (nlyr={nlyr}, m={m}) exceeds VMEM at "
+            "the minimum 128-lane tile; use block_thomas_rt (it streams the "
+            "layer axis for large shapes) or the scan fallback"
+        )
     pad = (-b) % tb
     if pad:
         # pad with identity blocks / zero rhs -> solution zeros (discarded)
@@ -274,6 +288,282 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlyr - 1), bwd, y_last)
 
 
+# --------------------------------------------------------------------------
+# Streamed (two-pass, layer-chunked) variant for shapes whose whole-column
+# working set exceeds VMEM (e.g. nstr=16 x 65 layers: the single-pass kernel
+# needs ~19 MB/128 lanes > the 16 MB scoped-vmem limit).  The forward
+# elimination runs as a SEQUENTIAL grid over layer chunks, carrying
+# (w_prev, y_prev, previous layer's gp/gm/ee) in VMEM scratch across grid
+# steps and writing the W/y history to HBM as chunked outputs; the backward
+# substitution is a second kernel streaming that history in reverse.  HBM
+# traffic grows from [inputs + xs] to [inputs + 2x history + xs] — still
+# ~2.5x less than materializing the assembled blocks.
+# --------------------------------------------------------------------------
+
+
+def _rt_fwd_chunk_kernel(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
+                         rhs_ref, ws_ref, ys_ref,
+                         wcar, ycar, gpcar, gmcar, eecar):
+    n = gp_ref.shape[1]
+    m = 2 * n
+    tb = gp_ref.shape[-1]
+    dtype = gp_ref.dtype
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        wcar[...] = jnp.zeros((m, m, tb), dtype)
+        ycar[...] = jnp.zeros((m, tb), dtype)
+        gpcar[...] = jnp.zeros((n, n, tb), dtype)
+        gmcar[...] = jnp.zeros((n, n, tb), dtype)
+        eecar[...] = jnp.zeros((n, tb), dtype)
+
+    def layer_mats(l):
+        gpl = gp_ref[pl.ds(l, 1)][0]
+        gml = gm_ref[pl.ds(l, 1)][0]
+        eel = ee_ref[pl.ds(l, 1)][0]
+        return gpl, gml, gpl * eel[None, :, :], gml * eel[None, :, :]
+
+    def fwd(l, carry):
+        w_prev, y_prev, gp_pm, gm_pm, ee_pm = carry
+        gl = c * lc + l                       # global layer index
+        gpl, gml, gpe, gme = layer_mats(l)
+
+        d_top = jnp.concatenate([gml, gpe], axis=1)
+        d_bot = jnp.concatenate([gpe, gml], axis=1)
+        last = jnp.where(gl == nlyr_real - 1, jnp.ones((), dtype),
+                         jnp.zeros((), dtype))
+        refl = refl_ref[:]
+        d_bot = d_bot - last * jnp.concatenate(
+            [_mm(refl, gme), _mm(refl, gpl)], axis=1
+        )
+        diag_l = jnp.concatenate([d_top, d_bot], axis=0)
+
+        # previous layer's mats: in-chunk for l >= 1, carried for l == 0
+        lm1 = jnp.maximum(l - 1, 0)
+        gpm_c, gmm_c, _, _ = layer_mats(lm1)
+        eem_c = ee_ref[pl.ds(lm1, 1)][0]
+        first = (l == 0)
+        gpm = jnp.where(first, gp_pm, gpm_c)
+        gmm = jnp.where(first, gm_pm, gmm_c)
+        eem = jnp.where(first, ee_pm, eem_c)
+        gpem = gpm * eem[None, :, :]
+        gmem = gmm * eem[None, :, :]
+        has_low = jnp.where(gl > 0, jnp.ones((), dtype), jnp.zeros((), dtype))
+        lt = -has_low * jnp.concatenate([gmem, gpm], axis=1)
+
+        corr_top = _mm(lt, w_prev)
+        dt = diag_l - jnp.concatenate(
+            [corr_top, jnp.zeros_like(corr_top)], axis=0
+        )
+        r_l = rhs_ref[pl.ds(l, 1)][0]
+        corr_r = jnp.sum(lt * y_prev[None, :, :], axis=1)
+        rt = r_l - jnp.concatenate([corr_r, jnp.zeros_like(corr_r)], axis=0)
+
+        # upper block from layer gl+1; padded layers have gp=0, ee=0 so the
+        # chunk-local read at min(l+1, lc-1) is only wrong when gl+1 crosses
+        # a chunk edge — handle by computing the upper from NEXT layer mats:
+        # cross-edge reads are impossible in-kernel, so the chunk size must
+        # satisfy: upper needs layer l+1 which lives in this chunk unless
+        # l == lc-1; for l == lc-1 the next layer is the NEXT chunk's first.
+        # We sidestep it by writing W for layer gl from the NEXT iteration's
+        # perspective instead: here we only need upper_l NOW, so the caller
+        # pads the chunk axis with a one-layer halo: gp/gm/ee refs carry
+        # lc + 1 layers (layers [c*lc, c*lc + lc]), making l+1 always valid.
+        lp1 = l + 1
+        gpp = gp_ref[pl.ds(lp1, 1)][0]
+        gmp = gm_ref[pl.ds(lp1, 1)][0]
+        eep = ee_ref[pl.ds(lp1, 1)][0]
+        has_up = jnp.where(gl < nlyr_real - 1, jnp.ones((), dtype),
+                           jnp.zeros((), dtype))
+        ub = -has_up * jnp.concatenate(
+            [gpp, gmp * eep[None, :, :]], axis=1
+        )
+        upper_l = jnp.concatenate([jnp.zeros_like(ub), ub], axis=0)
+
+        sol = _solve_step(dt, jnp.concatenate(
+            [upper_l, rt[:, None, :]], axis=1))
+        w_l = sol[:, :m]
+        y_l = sol[:, m]
+        ws_ref[pl.ds(l, 1)] = w_l.reshape(m * m, tb)[None]
+        ys_ref[pl.ds(l, 1)] = y_l[None]
+        return (w_l, y_l, gpl, gml, ee_ref[pl.ds(l, 1)][0])
+
+    carry0 = (wcar[...], ycar[...], gpcar[...], gmcar[...], eecar[...])
+    w_l, y_l, gpl, gml, eel = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(lc), fwd, carry0
+    )
+    wcar[...] = w_l
+    ycar[...] = y_l
+    gpcar[...] = gpl
+    gmcar[...] = gml
+    eecar[...] = eel
+
+
+def _rt_bwd_chunk_kernel(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
+    tb = ws_ref.shape[-1]
+    m = xs_ref.shape[1]
+    dtype = ws_ref.dtype
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        # the very last (padded-identity or real-last) layer: x = y
+        xcar[...] = jnp.zeros((m, tb), dtype)
+
+    def bwd(i, x_next):
+        l = jnp.int32(lc - 1) - i
+        y_l = ys_ref[pl.ds(l, 1)][0]
+        w_l = ws_ref[pl.ds(l, 1)][0].reshape(m, m, tb)
+        # the global last layer has no next-layer coupling: its stored W is
+        # zero (upper was masked), so the generic update is safe everywhere
+        x_l = y_l - jnp.sum(w_l * x_next[None, :, :], axis=1)
+        xs_ref[pl.ds(l, 1)] = x_l[None]
+        return x_l
+
+    x_last = jax.lax.fori_loop(jnp.int32(0), jnp.int32(lc), bwd, xcar[...])
+    xcar[...] = x_last
+
+
+def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
+                              layer_chunk=8):
+    nlyr, n, _, b = gp.shape
+    m = 2 * n
+    dtype = gp.dtype
+
+    # pad layers to a chunk multiple with decoupled identity layers
+    # (gp = 0, gm = I, ee = 0, rhs = 0): their W is zero, so the padded
+    # back-substitution start x = 0 leaves real layers untouched.
+    lpad = (-nlyr) % layer_chunk
+    if lpad:
+        eye = jnp.broadcast_to(
+            jnp.eye(n, dtype=dtype)[None, :, :, None], (lpad, n, n, b)
+        )
+        gp = jnp.concatenate([gp, jnp.zeros((lpad, n, n, b), dtype)], axis=0)
+        gm = jnp.concatenate([gm, eye], axis=0)
+        ee = jnp.concatenate([ee, jnp.zeros((lpad, n, b), dtype)], axis=0)
+        rhs = jnp.concatenate([rhs, jnp.zeros((lpad, m, b), dtype)], axis=0)
+    lfull = nlyr + lpad
+    nchunks = lfull // layer_chunk
+    lc = layer_chunk
+
+    # one-layer halo for the upper-block read (layer l+1); the final chunk's
+    # halo reads a zero layer appended here
+    gp_h = jnp.concatenate([gp, jnp.zeros((1, n, n, b), dtype)], axis=0)
+    gm_h = jnp.concatenate([gm, jnp.zeros((1, n, n, b), dtype)], axis=0)
+    ee_h = jnp.concatenate([ee, jnp.zeros((1, n, b), dtype)], axis=0)
+
+    # lane tile from the CHUNK working set
+    floats = (lc + 1) * (2 * n * n + n) + lc * (2 * m + m * m + m) + n * n \
+        + (m * m + m) + (2 * n * n + n)
+    tb = _tile_for_vmem(2 * floats, min(tile_b, max(128, b)))
+    if tb == 0:
+        raise ValueError("streamed block_thomas_rt: chunk too large for VMEM")
+    pad = (-b) % tb
+    if pad:
+        def padb(x, diag_eye=False):
+            if not diag_eye:
+                return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+            eye = jnp.broadcast_to(
+                jnp.eye(x.shape[-2], dtype=dtype)[None, :, :, None],
+                x.shape[:-1] + (pad,),
+            )
+            return jnp.concatenate([x, eye], axis=-1)
+        gp_h = padb(gp_h)
+        gm_h = padb(gm_h, diag_eye=True)
+        ee_h = padb(ee_h)
+        refl = padb(refl)
+        rhs = padb(rhs)
+    b_pad = b + pad
+    grid = (b_pad // tb, nchunks)
+
+    # halo-block spec: chunk c covers layers [c*lc, c*lc + lc]; expressed as
+    # an index_map in units of the block shape requires overlap, which
+    # BlockSpec cannot do — so slice the halo'd operand into a 4-D
+    # [nchunks, lc+1, ...] gather done HERE (XLA), letting each grid step
+    # load its own halo'd chunk.
+    idx = (np.arange(nchunks)[:, None] * lc + np.arange(lc + 1)[None, :])
+    gp_c = gp_h[idx.reshape(-1)].reshape((nchunks, lc + 1) + gp_h.shape[1:])
+    gm_c = gm_h[idx.reshape(-1)].reshape((nchunks, lc + 1) + gm_h.shape[1:])
+    ee_c = ee_h[idx.reshape(-1)].reshape((nchunks, lc + 1) + ee_h.shape[1:])
+    rhs_c = rhs.reshape((nchunks, lc) + rhs.shape[1:])
+
+    def cspec(x):
+        blk = (1,) + x.shape[1:-1] + (tb,)
+        nd = x.ndim
+        return pl.BlockSpec(
+            blk, lambda i, c, nd=nd: (c,) + (0,) * (nd - 2) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    refl_spec = pl.BlockSpec(
+        (n, n, tb), lambda i, c: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    with jax.enable_x64(False):
+        ws, ys = pl.pallas_call(
+            functools.partial(_fwd_chunk_squeeze, nlyr, lc),
+            grid=grid,
+            in_specs=[cspec(gp_c), cspec(gm_c), cspec(ee_c), refl_spec,
+                      cspec(rhs_c)],
+            out_specs=[
+                pl.BlockSpec((1, lc, m * m, tb),
+                             lambda i, c: (c, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lc, m, tb), lambda i, c: (c, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nchunks, lc, m * m, b_pad), dtype),
+                jax.ShapeDtypeStruct((nchunks, lc, m, b_pad), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((m, m, tb), dtype), pltpu.VMEM((m, tb), dtype),
+                pltpu.VMEM((n, n, tb), dtype), pltpu.VMEM((n, n, tb), dtype),
+                pltpu.VMEM((n, tb), dtype),
+            ],
+            interpret=interpret,
+        )(gp_c, gm_c, ee_c, refl, rhs_c)
+
+        xs = pl.pallas_call(
+            functools.partial(_bwd_chunk_squeeze, nchunks, lc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, lc, m * m, tb),
+                             lambda i, c: (nchunks - 1 - c, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lc, m, tb),
+                             lambda i, c: (nchunks - 1 - c, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, lc, m, tb), lambda i, c: (nchunks - 1 - c, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((nchunks, lc, m, b_pad), dtype),
+            scratch_shapes=[pltpu.VMEM((m, tb), dtype)],
+            interpret=interpret,
+        )(ws, ys)
+
+    xs = xs.reshape(lfull, m, b_pad)[:nlyr]
+    return xs[..., :b] if pad else xs
+
+
+def _fwd_chunk_squeeze(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
+                       rhs_ref, ws_ref, ys_ref, *scratch):
+    _rt_fwd_chunk_kernel(
+        nlyr_real, lc,
+        gp_ref.at[0], gm_ref.at[0], ee_ref.at[0], refl_ref,
+        rhs_ref.at[0], ws_ref.at[0], ys_ref.at[0], *scratch,
+    )
+
+
+def _bwd_chunk_squeeze(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
+    _rt_bwd_chunk_kernel(
+        nchunks, lc, ws_ref.at[0], ys_ref.at[0], xs_ref.at[0], xcar
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def block_thomas_rt(
     gp: jnp.ndarray,        # [L, N, N, B] eigenvectors G+ (lane layout)
@@ -293,6 +583,12 @@ def block_thomas_rt(
     # per-lane f32 working set: gp+gm+ee+rhs+refl inputs, xs out, ws/ys scratch
     floats = nlyr * (4 * n * n + 2 * n + 2 * 2 * m + m * m) + 2 * n * n
     tb = _tile_for_vmem(floats, min(tile_b, max(128, b)))
+    if tb == 0:
+        # whole-column working set exceeds VMEM (e.g. nstr=16 x 65 layers):
+        # stream the layer axis in chunks through HBM instead
+        return _block_thomas_rt_streamed(
+            gp, gm, ee, refl, rhs, tile_b=tile_b, interpret=interpret
+        )
     pad = (-b) % tb
     if pad:
         def padb(x, diag_eye=False):

@@ -121,6 +121,65 @@ def _jitted_solver(nstr, onlyfl, planck, deltam, corint, numu, nphi, dtype_name)
     return jax.jit(solve)
 
 
+@dataclasses.dataclass
+class AlbTrnResult:
+    """ibcnd=1 (disort.f:ALBTRN) results: slab albedo & transmissivity."""
+    cfg: Config
+    profile: Profile
+    wl: np.ndarray        # [nwl]
+    umu: np.ndarray       # [numu] incidence cosines
+    albmed: np.ndarray    # [nwl, numu]
+    trnmed: np.ndarray    # [nwl, numu]
+
+
+def run_albtrn(
+    cfg: Config,
+    profile: Profile | None = None,
+    dtype=None,
+    usrcld: np.ndarray | None = None,
+    aer_table=None,
+) -> AlbTrnResult:
+    """The ibcnd=1 special mode: plane albedo / total transmissivity of the
+    whole slab per incidence angle (disort.f:ALBTRN/ALTRIN/SPALTR), batched
+    over the spectral grid."""
+    from sbdart_tpu.solver.albtrn import slab_albedo_transmission
+
+    dtype = dtype or (jnp.dtype(cfg.dtype) if cfg.dtype else default_dtype())
+    if profile is None:
+        profile = build_profile(cfg)
+    wl = spectral_grid(cfg)
+    nzen = int(cfg.nzen)
+    if nzen <= 0:
+        raise ValueError(
+            "ibcnd=1 needs incidence angles: set nzen and uzen (degrees)"
+        )
+    uzen = np.array(cfg.uzen[:nzen], np.float64)
+    umu = np.abs(np.cos(np.deg2rad(uzen)))
+    nmom = cfg.nstr + 1
+    deck = build_optical_deck(profile, cfg, wl, nmom, usrcld, aer_table)
+    # gas k-terms: use the weighted-mean optical depth (ALBTRN is a
+    # monochromatic slab property; k-weighting the albedo itself would mix
+    # nonlinearly — the reference's mode is likewise gas-free in practice)
+    dtau = np.einsum("wk,wkl->wl", deck.wk, deck.dtau)
+    ssalb = np.einsum("wk,wkl->wl", deck.wk, deck.ssalb * deck.dtau) / np.maximum(
+        dtau, 1e-30
+    )
+    albmed, trnmed = slab_albedo_transmission(
+        jnp.asarray(dtau, dtype),
+        jnp.asarray(np.clip(ssalb, 0.0, 1.0), dtype),
+        jnp.asarray(deck.pmom, dtype),
+        nstr=cfg.nstr,
+        umu=jnp.asarray(umu, dtype),
+        albedo=cfg.albcon,
+        deltam=cfg.deltam,
+        dtype=dtype,
+    )
+    return AlbTrnResult(
+        cfg=cfg, profile=profile, wl=wl, umu=umu,
+        albmed=np.asarray(albmed), trnmed=np.asarray(trnmed),
+    )
+
+
 def run_pipeline(
     cfg: Config,
     profile: Profile | None = None,
@@ -133,6 +192,15 @@ def run_pipeline(
     filter_user=None,
 ) -> SpectralResult:
     """Run the full spectral pipeline for one configuration/column."""
+    if cfg.ibcnd == 1:
+        raise ValueError(
+            "ibcnd=1 is the albedo/transmission special mode: call "
+            "run_albtrn(cfg) (the CLI dispatches automatically)"
+        )
+    if cfg.spowder:
+        raise NotImplementedError(
+            "spowder (sub-surface snow powder layer) is not implemented"
+        )
     dtype = dtype or (jnp.dtype(cfg.dtype) if cfg.dtype else default_dtype())
     if profile is None:
         profile = build_profile(cfg)

@@ -118,6 +118,7 @@ def solve_bvp(
     beam_refl_src: jnp.ndarray,  # [..., m, N] reflected-direct-beam source
     tab: AngularTables,
     dtype,
+    method: str = "auto",     # auto | kernel | kernel_interpret | scan
 ) -> BvpSolution:
     """Assemble and solve the block-tridiagonal BVP for all azimuth modes."""
     n = tab.mu.shape[0]
@@ -174,13 +175,17 @@ def solve_bvp(
     # the assembled [L, 2N, 2N, B] blocks (the largest tensors in the flux
     # hot path) never touch HBM.  Elsewhere: assemble + lax.scan fallback
     # (identical math).
-    use_kernel = (
-        jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
-    )
-    if use_kernel:
+    if method == "auto":
+        use_kernel = (
+            jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
+        )
+        method = "kernel" if use_kernel else "scan"
+    if method in ("kernel", "kernel_interpret"):
         from sbdart_tpu.pallas import block_thomas_rt
 
-        xs = block_thomas_rt(gp, gm, ee, refl_op, rhs)          # [L, 2N, B]
+        xs = block_thomas_rt(
+            gp, gm, ee, refl_op, rhs, interpret=(method == "kernel_interpret")
+        )                                                       # [L, 2N, B]
     else:
         diag, lower, upper = assemble_blocks(gp, gm, ee, refl_op)
         xs = block_thomas_scan(diag, lower, upper, rhs)

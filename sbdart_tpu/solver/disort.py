@@ -72,6 +72,7 @@ def solve_rte(
                                           # (the lamber=.false. BDREF path)
     dtype=None,
     eig_method: str = "auto",
+    bvp_method: str = "auto",
 ) -> RteOutputs:
     if dtype is None:
         from sbdart_tpu.dtypes import default_dtype
@@ -196,7 +197,7 @@ def solve_rte(
 
     sol = bvp_mod.solve_bvp(
         eig, part, dm.dtau, surf_refl, fisot, top_emission, surf_emis_vec,
-        beam_refl_src, tab, dtype,
+        beam_refl_src, tab, dtype, method=bvp_method,
     )
     bounds = bvp_mod.intensity_at_boundaries(eig, sol, part, dm.dtau)
 

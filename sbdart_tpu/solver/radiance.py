@@ -52,33 +52,6 @@ def _int_away(k, delta, u):
     return jnp.where(jnp.abs(d) < _RES_EPS, taylor, exact)
 
 
-def _project_source(c, ylm_q, parity, w, vp, vm):
-    """Legendre moments chi_l of a quadrature field (vp at +mu, vm at -mu).
-
-    c: [..., m?, L, l] scattering coefficients (w0/2)(2l+1)g_l (may lack the
-       mode axis; broadcasting handles it).
-    ylm_q: [m, l, i]; parity: [m, l]; w: [i].
-    vp/vm: [..., m, L, i] or [..., m, L, i, j] (eigenvector stacks).
-    Returns chi with the i-axis contracted: [..., m, L, l(, j)].
-    """
-    if vp.ndim == vm.ndim and vp.shape[-1] == vm.shape[-1] and vp.ndim >= 2:
-        pass
-    wy = jnp.einsum("i,mli->mli", w, ylm_q)
-    if vp.ndim == vm.ndim:
-        if vp.shape == vm.shape and vp.ndim >= 4 and vp.shape[-2] != vp.shape[-1]:
-            pass
-    # two cases: vectors [..., m, L, i] or matrices [..., m, L, i, j]
-    if vp.shape[-2:] == vp.shape[-2:] and vp.ndim >= 4 and vp.shape[-1] == vp.shape[-2]:
-        chi = jnp.einsum("mli,...mLij->...mLlj", wy, vp) + jnp.einsum(
-            "ml,mli,...mLij->...mLlj", parity, wy, vm
-        )
-    else:
-        chi = jnp.einsum("mli,...mLi->...mLl", wy, vp) + jnp.einsum(
-            "ml,mli,...mLi->...mLl", parity, wy, vm
-        )
-    return chi
-
-
 def compute_radiances(
     *,
     eig: EigResult,

@@ -10,14 +10,21 @@ import sys
 
 # Force CPU: the harness exports JAX_PLATFORMS=axon (remote TPU compiles —
 # per-op dispatch there is seconds each), so setdefault is not enough.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# SBDART_TPU_TESTS=1 opts out, letting the @pytest.mark.tpu tests run the
+# non-interpret kernels on real hardware.
+_ON_TPU = os.environ.get("SBDART_TPU_TESTS") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The axon plugin ignores the JAX_PLATFORMS env var; force via config too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # The axon plugin ignores the JAX_PLATFORMS env var; force via config too.
+    jax.config.update("jax_platforms", "cpu")
