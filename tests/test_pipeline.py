@@ -135,6 +135,7 @@ class TestCloud(object):
 
 
 class TestAerosolRadiance(object):
+    @pytest.mark.slow
     def test_aerosol_radiances(self):
         # BASELINE config 4 shape (reduced): rural BL aerosol, radiances
         cfg = Config(

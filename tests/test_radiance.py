@@ -35,6 +35,7 @@ def run_rad(taus, w0, mom, nstr, umu, phi, corint=False, **kw):
 
 
 class TestRadianceAnalytic:
+    @pytest.mark.slow
     def test_blackbody_cavity_radiance(self):
         t = 270.0
         wlo, whi = 400.0, 600.0
@@ -47,6 +48,7 @@ class TestRadianceAnalytic:
         )
         np.testing.assert_allclose(np.asarray(out.uu), b, rtol=1e-8)
 
+    @pytest.mark.slow
     def test_pure_absorption_reflected_beam(self):
         """w0=0, Lambertian albedo: up radiance = (alb/pi) Fdir_bot * exp."""
         tau, alb, mu0 = 0.6, 0.5, 0.7
@@ -64,6 +66,7 @@ class TestRadianceAnalytic:
                 uu[0, i, 0], i_surf * np.exp(-tau / u), rtol=1e-10
             )
 
+    @pytest.mark.slow
     def test_single_scatter_limit(self):
         """Thin layer: radiance matches the exact SS closed form."""
         tau, w0, g, mu0 = 1e-4, 0.5, 0.3, 0.6
@@ -144,6 +147,7 @@ class TestRadianceAnalytic:
 
 
 class TestTmsCorrection:
+    @pytest.mark.slow
     def test_no_truncation_no_correction(self):
         """Phase fully representable: corint must not change radiances."""
         kw = dict(fbeam=1.0, umu0=0.6, albedo=0.2)
@@ -155,6 +159,7 @@ class TestTmsCorrection:
             np.asarray(a.uu), np.asarray(b.uu), rtol=1e-7, atol=1e-10
         )
 
+    @pytest.mark.slow
     def test_tms_improves_truncated_phase(self):
         """Strongly peaked phase at low nstr: TMS radiances should approach a
         high-nstr reference better than uncorrected ones (aureole region)."""
@@ -220,6 +225,7 @@ class TestImsCorrection:
         assert np.abs(duu[1:, 0, 1]).max() < 1e-2 * duu[1:, 0, 0].max()
         assert np.isfinite(duu).all()
 
+    @pytest.mark.slow
     def test_corint_improves_downward_aureole(self):
         """TMS+IMS at low nstr: downward near-forward radiance approaches a
         high-nstr reference better than the uncorrected value."""
@@ -241,6 +247,7 @@ class TestImsCorrection:
 
 
 class TestSelfConvergence:
+    @pytest.mark.slow
     def test_nstr_convergence(self):
         """Fluxes converge as nstr grows (Richardson-style sanity)."""
         mom = hg_moments(0.75, 130)
