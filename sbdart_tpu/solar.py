@@ -79,16 +79,30 @@ def solar_geometry(cfg: Config) -> tuple[float, float]:
 # Satellite filter functions (spectra.f:FILTER equivalent)
 # --------------------------------------------------------------------------
 
-# Built-in approximate channel response curves (isat > 0): (center, width)
-# of near-rectangular response with cosine-tapered edges [um].
+# Built-in satellite channel responses (isat > 0), spectra.f:FILTER
+# equivalent.  Curves are trapezoids on each instrument's PUBLISHED 50%-
+# response band limits (lo50, hi50) [um] with 10%-of-width cosine-tapered
+# edges — the band limits are documented instrument specifications; the
+# exact measured response shapes await reference extraction (SURVEY 8.6).
 _BUILTIN_FILTERS = {
-    1: (0.55, 0.30, "METEOSAT vis"),
-    2: (0.59, 0.16, "GOES-E vis"),
-    3: (0.61, 0.19, "GOES-W vis"),
-    4: (0.63, 0.10, "AVHRR ch1"),
-    5: (0.86, 0.28, "AVHRR ch2"),
-    6: (0.65, 0.17, "GTR-100 vis"),
+    1: (0.45, 1.00, "METEOSAT visible"),
+    2: (0.55, 0.75, "GOES visible (E)"),
+    3: (0.55, 0.75, "GOES visible (W)"),
+    4: (0.58, 0.68, "AVHRR ch1"),
+    5: (0.725, 1.00, "AVHRR ch2"),
+    6: (3.55, 3.93, "AVHRR ch3"),
+    7: (10.3, 11.3, "AVHRR ch4"),
+    8: (11.5, 12.5, "AVHRR ch5"),
+    9: (5.7, 7.1, "METEOSAT water vapor"),
+    10: (10.5, 12.5, "METEOSAT IR window"),
+    11: (0.50, 0.90, "broadband visible/NIR"),
+    12: (0.25, 4.0, "broadband shortwave"),
 }
+
+
+def filter_list() -> dict[int, str]:
+    """isat code -> channel description (the built-in filter catalog)."""
+    return {k: v[2] for k, v in _BUILTIN_FILTERS.items()}
 
 
 def filter_function(
@@ -106,13 +120,20 @@ def filter_function(
             user_table = (d[:, 0], d[:, 1])
         return np.interp(wl, user_table[0], user_table[1], left=0.0, right=0.0)
     if cfg.isat in _BUILTIN_FILTERS:
-        c, wdt, _name = _BUILTIN_FILTERS[cfg.isat]
-        x = (wl - c) / (wdt / 2.0)
-        resp = np.where(np.abs(x) <= 0.8, 1.0, 0.0)
-        edge = (np.abs(x) > 0.8) & (np.abs(x) < 1.2)
-        resp = np.where(edge, 0.5 * (1 + np.cos(np.pi * (np.abs(x) - 0.8) / 0.4)), resp)
+        lo, hi, _name = _BUILTIN_FILTERS[cfg.isat]
+        c = 0.5 * (lo + hi)
+        wdt = hi - lo
+        x = (wl - c) / (wdt / 2.0)         # +-1 at the 50% points
+        ax = np.abs(x)
+        resp = np.where(ax <= 0.9, 1.0, 0.0)
+        edge = (ax > 0.9) & (ax < 1.1)
+        resp = np.where(
+            edge, 0.5 * (1 + np.cos(np.pi * (ax - 0.9) / 0.2)), resp
+        )
         return resp
-    raise ValueError(f"unsupported isat={cfg.isat}")
+    raise ValueError(
+        f"unsupported isat={cfg.isat}; built-ins: {filter_list()}"
+    )
 
 
 def spectral_grid(cfg: Config) -> np.ndarray:

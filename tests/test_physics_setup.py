@@ -91,8 +91,10 @@ class TestSolar:
         assert zen > 90.0
 
     def test_solar_constant(self):
+        # the default database (nf=2, LOWTRAN7) integrates to its documented
+        # solar constant (full per-database checks: tests/test_solar_db.py)
         wl, e = solar_table()
-        np.testing.assert_allclose(np.trapezoid(e, wl), 1361.0, rtol=1e-6)
+        np.testing.assert_allclose(np.trapezoid(e, wl), 1368.0, rtol=1e-6)
 
     def test_solar_peak_region(self):
         e = solar_irradiance(np.array([0.50, 0.55]))
