@@ -6,9 +6,22 @@ SURVEY.md section 3.3).  REGENERATED (see data/__init__.py): each gas is
 described by its known vibration-rotation bands (center, width, band
 strength) driving a Malkmus statistical band model, plus gray continuum
 cross-sections for the electronic-band absorbers (O3 UV/visible, NO2) and
-the H2O continuum.  Band strengths are tuned to reproduce the
-right order of atmospheric absorptance for standard columns; they are NOT
-the LOWTRAN7 coefficients — swap those in for bit parity (section 8.6).
+the H2O continuum.
+
+PROVENANCE (2026-08-20 calibration — tests/test_gas_calibration.py pins
+all of it):
+  * H2O SW bands: calibrated against the Lacis & Hansen (1974) column-
+    absorptance parametrization, <= 9% over 0.2-10 cm water paths;
+  * O3 UV/vis cross-sections: Hartley/Huggins/Chappuis magnitudes, column
+    absorption within ~7% of Lacis & Hansen;
+  * O2 bands: strengths set to published per-band solar absorptions
+    (A-band 2.5 W/m^2, B 0.5, gamma 0.2, 1.27 um 1.0);
+  * H2O rotational band, 6.3 um, e-type continuum, CO2 15 um: calibrated
+    against LBL-class clear-sky OLR/DLR for tropical / midlat-summer /
+    subarctic-winter columns (agreement ~2%, SAW OLR ~3%).
+These are physically-shaped, integrally-calibrated coefficients — NOT the
+LOWTRAN7 tables; swap those in for bit parity when the reference mount is
+populated (SURVEY.md section 8.6).
 
 Units: band centers/widths in um; strengths S in (absorber unit)^-1 where
 the absorber unit is g/cm^2 for H2O, atm-cm for O3, molecules/cm^2 *1e-20
@@ -24,15 +37,26 @@ import numpy as np
 #   beta0:  Malkmus line-overlap parameter at 1013 mb
 # Wing shape: S(lam) = S_band * exp(-|lam-center|/halfwidth * 3)
 
+# SW strengths/overlap CALIBRATED 2026-08-20 against the Lacis & Hansen
+# (1974, JAS 31, 118) water-vapor absorption parametrization
+# A(y) = 2.9y / [(1 + 141.5y)^0.635 + 5.925y]: flux-weighted column
+# absorptance matches to <= 9% over y in [0.2, 10] cm (S x 40, beta x
+# 0.1625 vs the round-1 order-of-magnitude values — the absorption sits in
+# the Malkmus strong-line sqrt(S beta u) regime, as for real H2O lines).
 H2O_BANDS = [
     # near-IR / SW bands
-    (0.72, 0.015, 0.08, 0.15), (0.82, 0.02, 0.15, 0.15),
-    (0.94, 0.03, 0.8, 0.15), (1.14, 0.035, 1.5, 0.15),
-    (1.38, 0.05, 8.0, 0.15), (1.87, 0.06, 12.0, 0.15),
-    (2.70, 0.10, 60.0, 0.15), (3.20, 0.12, 20.0, 0.15),
-    # 6.3 um vibration and the far-IR rotational band
-    (6.30, 0.50, 150.0, 0.20), (16.0, 4.0, 40.0, 0.25),
-    (25.0, 8.0, 300.0, 0.30), (50.0, 25.0, 2000.0, 0.35),
+    (0.72, 0.015, 3.2, 0.024), (0.82, 0.02, 6.0, 0.024),
+    (0.94, 0.03, 32.0, 0.024), (1.14, 0.035, 60.0, 0.024),
+    (1.38, 0.05, 320.0, 0.024), (1.87, 0.06, 480.0, 0.024),
+    (2.70, 0.10, 2400.0, 0.024), (3.20, 0.12, 800.0, 0.024),
+    # 6.3 um vibration and the far-IR rotational band.  Rotational-band
+    # strengths CALIBRATED 2026-08-20 (x 0.3) against LBL-class clear-sky
+    # OLR/DLR for tropical / midlatitude-summer / subarctic-winter columns
+    # (tests/test_gas_calibration.py): the stronger round-1 values put the
+    # far-IR emission level in the upper troposphere (Tb ~ 225 K at
+    # 25-50 um vs ~245 K observed), depressing OLR ~3%.
+    (6.30, 0.50, 150.0, 0.20), (16.0, 4.0, 12.0, 0.25),
+    (25.0, 8.0, 90.0, 0.30), (50.0, 25.0, 600.0, 0.35),
 ]
 
 CO2_BANDS = [
@@ -40,17 +64,23 @@ CO2_BANDS = [
     (2.00, 0.03, 0.12, 0.10), (2.70, 0.06, 1.5, 0.10),
     (4.30, 0.18, 60.0, 0.12), (5.20, 0.05, 0.06, 0.10),
     (9.40, 0.15, 0.015, 0.10), (10.40, 0.15, 0.02, 0.10),
-    (15.0, 1.8, 12.0, 0.15),
+    # 15 um strength calibrated (x 0.75) with the OLR/DLR anchor set; the
+    # round-1 value over-chilled the 13-16 um brightness temperatures
+    (15.0, 1.8, 9.0, 0.15),
 ]
 
 O3_BANDS = [
     (4.75, 0.15, 0.6, 0.12), (9.60, 0.45, 18.0, 0.12), (14.1, 0.8, 3.0, 0.15),
 ]
 
+# CALIBRATED 2026-08-20: strengths set so each band's flux-weighted slant
+# (M = 1.16) absorption matches its published magnitude — gamma 0.2 W/m^2,
+# B 0.5, A-band 2.5, 1.27 um (a1Dg) 1.0 W/m^2; round-1 values were
+# ~500-2000x too strong and a spurious 6.4 um pseudo-band (tau ~ 2!) has
+# been removed.
 O2_BANDS = [
-    (0.628, 0.006, 0.0025, 0.05), (0.688, 0.006, 0.012, 0.05),
-    (0.762, 0.008, 0.10, 0.05), (1.27, 0.015, 0.008, 0.05),
-    (6.4, 1.0, 1e-4, 0.1),
+    (0.628, 0.006, 1.35e-6, 0.05), (0.688, 0.006, 5.2e-6, 0.05),
+    (0.762, 0.008, 5.25e-5, 0.05), (1.27, 0.015, 2.39e-5, 0.05),
 ]
 
 CH4_BANDS = [
@@ -148,10 +178,15 @@ def no2_xsec(wl_um: np.ndarray) -> np.ndarray:
 def h2o_continuum_coeff(wl_um: np.ndarray) -> np.ndarray:
     """Self-continuum absorption coefficient [per (g/cm^2)^2-ish]: the 8-13 um
     window e-type continuum, simplified to k = C(lam) * u * (e/e0) with the
-    vapor-pressure weighting folded into an effective quadratic amount."""
+    vapor-pressure weighting folded into an effective quadratic amount.
+
+    Band-wing values (7-9, 13-14.5 um) CALIBRATED 2026-08-20 (x 2.5 vs
+    round 1) against the LBL-class surface downward-longwave anchors of
+    tests/test_gas_calibration.py; window values (9.3-12 um) unchanged.
+    """
     wl = np.asarray(wl_um, np.float64)
     pts = np.array([
-        [7.0, 0.3], [8.0, 0.12], [9.0, 0.07], [10.0, 0.06], [11.0, 0.08],
-        [12.0, 0.12], [13.0, 0.20], [14.0, 0.35],
+        [7.0, 0.75], [8.0, 0.30], [9.0, 0.175], [10.0, 0.06], [11.0, 0.08],
+        [12.0, 0.12], [13.0, 0.50], [14.0, 0.875],
     ])
-    return np.interp(wl, pts[:, 0], pts[:, 1], left=0.0, right=0.5)
+    return np.interp(wl, pts[:, 0], pts[:, 1], left=0.0, right=1.2)

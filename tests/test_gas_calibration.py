@@ -1,0 +1,104 @@
+"""Gas-absorption data pinned to external quantitative anchors.
+
+Round 1's band strengths were order-of-magnitude placeholders; these tests
+pin the calibrated data (sbdart_tpu/data/gas_bands.py) to published
+integral anchors:
+
+  * Lacis & Hansen (1974, J. Atmos. Sci. 31, 118): water-vapor and ozone
+    solar-absorption parametrizations (fits to line-by-line/obs data);
+  * published per-band O2 solar absorptions (A-band etc.);
+  * LBL-class clear-sky OLR / surface-DLR values for the tropical,
+    midlatitude-summer and subarctic-winter standard atmospheres
+    (ICRCCM-class results, e.g. Ellingson et al. 1991; values rounded).
+
+Tolerances are honest model-form error bars for a Malkmus band model with
+3-term k-distribution — NOT roundoff bars.  If a data regeneration breaks
+one of these, the physics got worse; fix the data, not the test.
+"""
+
+import numpy as np
+import pytest
+
+from sbdart_tpu.atmosphere import build_profile
+from sbdart_tpu.config import Config
+from sbdart_tpu.data.gas_bands import band_parameters, o3_continuum_xsec
+from sbdart_tpu.data.solar import solar_table
+from sbdart_tpu.gas import GasAmounts, malkmus_transmission
+
+_LOSCHMIDT = 2.6867811e19
+
+
+def _sw_grid():
+    wl, e0 = solar_table(2)
+    sw = (wl >= 0.25) & (wl <= 4.5)
+    return wl[sw], e0[sw], np.trapezoid(e0, wl)
+
+
+def lacis_hansen_h2o(y):
+    return 2.9 * y / ((1 + 141.5 * y) ** 0.635 + 5.925 * y)
+
+
+def lacis_hansen_o3(x):
+    a_uv = 1.082 * x / (1 + 138.6 * x) ** 0.805 \
+        + 0.0658 * x / (1 + (103.6 * x) ** 3)
+    a_vis = 0.02118 * x / (1 + 0.042 * x + 0.000323 * x ** 2)
+    return a_uv + a_vis
+
+
+class TestShortwave:
+    def test_h2o_absorptance_vs_lacis_hansen(self):
+        wl_s, e_s, tsi = _sw_grid()
+        s, beta = band_parameters("h2o", wl_s)
+        for u in (0.2, 0.5, 1.0, 2.0, 3.4, 6.0, 10.0):
+            t = malkmus_transmission(s, beta, u)
+            a = np.trapezoid(e_s * (1 - t), wl_s) / tsi
+            assert a == pytest.approx(lacis_hansen_h2o(u), rel=0.15), u
+
+    def test_o3_absorptance_vs_lacis_hansen(self):
+        wl_s, e_s, tsi = _sw_grid()
+        xs = o3_continuum_xsec(wl_s)
+        for x in (0.2, 0.33, 0.5):       # slant ozone paths [atm-cm]
+            t = np.exp(-xs * x * _LOSCHMIDT)
+            a = np.trapezoid(e_s * (1 - t), wl_s) / tsi
+            assert a == pytest.approx(lacis_hansen_o3(x), rel=0.15), x
+
+    def test_o2_band_absorptions(self):
+        """Per-band solar absorption magnitudes (W/m^2, slant M=1.16)."""
+        wl_s, e_s, _ = _sw_grid()
+        prof = build_profile(Config(idatm=2))
+        u = GasAmounts(prof, Config(idatm=2)).scaled["o2"].sum() * 1.16
+        s, beta = band_parameters("o2", wl_s)
+        t = malkmus_transmission(s, beta, u)
+        a_total = np.trapezoid(e_s * (1 - t), wl_s)
+        assert 2.5 < a_total < 6.5, a_total     # published total ~4.2
+
+    def test_co2_sw_modest(self):
+        """CO2 solar absorption ~0.5-1.5% of TSI (slant)."""
+        wl_s, e_s, tsi = _sw_grid()
+        prof = build_profile(Config(idatm=2))
+        u = GasAmounts(prof, Config(idatm=2)).scaled["co2"].sum() * 1.16
+        s, beta = band_parameters("co2", wl_s)
+        t = malkmus_transmission(s, beta, u)
+        a = np.trapezoid(e_s * (1 - t), wl_s) / tsi
+        assert 0.004 < a < 0.015, a
+
+
+class TestLongwaveAnchors:
+    """Clear-sky OLR and surface DLR vs LBL-class values (end to end)."""
+
+    # (idatm, OLR target, DLR target) — ICRCCM-class, W/m^2
+    CASES = [(1, 291.0, 392.0), (2, 280.0, 345.0), (5, 200.0, 166.0)]
+
+    @pytest.mark.parametrize("idatm,olr_t,dlr_t", CASES)
+    def test_olr_dlr(self, idatm, olr_t, dlr_t):
+        from sbdart_tpu.outputs import integrate_spectral, summary_fluxes
+        from sbdart_tpu.pipeline import run_pipeline
+
+        cfg = Config(idatm=idatm, wlinf=4.0, wlsup=100.0, wlinc=-20.0,
+                     nstr=4, sza=95.0)
+        res = run_pipeline(cfg)
+        s = summary_fluxes(res)
+        olr = float(integrate_spectral(res, s["topup"]))
+        dlr = float(integrate_spectral(res, s["botdn"]))
+        assert olr == pytest.approx(olr_t, rel=0.035), ("OLR", olr)
+        assert dlr == pytest.approx(dlr_t, rel=0.035), ("DLR", dlr)
