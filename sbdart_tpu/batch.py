@@ -26,12 +26,17 @@ Design:
 from __future__ import annotations
 
 import dataclasses
+import json
+import logging
 import os
+import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
+
+log = logging.getLogger("sbdart_tpu.batch")
 
 from sbdart_tpu.config import Config
 from sbdart_tpu.dtypes import default_dtype
@@ -282,6 +287,28 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
     )
 
 
+def _write_run_metadata(checkpoint_dir: str, cfg: Config, meta: dict,
+                        n_cols: int, col_chunk: int) -> None:
+    """Run-provenance record next to the checkpoints (aux subsystem 6.5)."""
+    mesh = meta["mesh"]
+    payload = {
+        "started_unix": time.time(),
+        "config": dataclasses.asdict(cfg),
+        "n_columns": int(n_cols),
+        "col_chunk": int(col_chunk),
+        "n_wavelengths": int(len(meta["wl"])),
+        "nlev": int(meta["profile"].nlev),
+        "mesh": {k: int(v) for k, v in mesh.shape.items()},
+        "backend": jax.default_backend(),
+        "n_devices": jax.device_count(),
+        "n_processes": jax.process_count(),
+        "jax_version": jax.__version__,
+    }
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(os.path.join(checkpoint_dir, "run_metadata.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, default=str)
+
+
 def run_batch(
     cfg: Config,
     batch: ColumnBatch,
@@ -306,6 +333,12 @@ def run_batch(
     fdn = np.zeros((n, nlev))
     fup = np.zeros((n, nlev))
 
+    if checkpoint_dir and jax.process_index() == 0:
+        _write_run_metadata(checkpoint_dir, cfg, meta, n, col_chunk)
+    nchunks = -(-n // col_chunk)
+    done = 0
+    t_start = time.perf_counter()
+
     for lo in range(0, n, col_chunk):
         hi = min(lo + col_chunk, n)
         ck_path = (
@@ -315,6 +348,9 @@ def run_batch(
         if ck_path and os.path.exists(ck_path):
             with np.load(ck_path) as z:  # resume: skip finished shards
                 fdir[lo:hi], fdn[lo:hi], fup[lo:hi] = z["fdir"], z["fdn"], z["fup"]
+            done += 1
+            log.info("chunk %d/%d cols %d-%d: restored from checkpoint",
+                     done, nchunks, lo, hi)
             continue
         sl = batch.slice(lo, hi)
         params = dict(
@@ -331,5 +367,9 @@ def run_batch(
         if ck_path:
             os.makedirs(checkpoint_dir, exist_ok=True)
             np.savez(ck_path, fdir=fdir[lo:hi], fdn=fdn[lo:hi], fup=fup[lo:hi])
+        done += 1
+        rate = (done * col_chunk) / max(time.perf_counter() - t_start, 1e-9)
+        log.info("chunk %d/%d cols %d-%d done (%.1f cols/s)",
+                 done, nchunks, lo, hi, rate)
 
     return BatchResult(fdir, fdn, fup, batch.csza, profile.z)
