@@ -159,7 +159,16 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
     tau_c, w0_c, g_c = cloud_optical_properties(profile, cfg, wl)
     tau_a, w0_a, g_a = aerosol_optical_properties(profile, cfg, wl)
     pmaer = np.asarray([p for p in cfg.pmaer], np.float64)
-    mom_c = (w0_c * tau_c)[..., None] * component_moments(g_c, cfg.imomc, nmom)
+    if cfg.imomc == 4:
+        from sbdart_tpu.clouds import cloud_mie_moments
+
+        mom_c = (w0_c * tau_c)[..., None] * cloud_mie_moments(
+            profile, cfg, wl, nmom
+        )
+    else:
+        mom_c = (w0_c * tau_c)[..., None] * component_moments(
+            g_c, cfg.imomc, nmom
+        )
     mom_a = (w0_a * tau_a)[..., None] * component_moments(
         g_a, cfg.imoma, nmom, user_moments=pmaer if pmaer.size else None
     )

@@ -67,6 +67,34 @@ def _layer_weights(profile: Profile, z_lo: float, z_hi: float) -> np.ndarray:
     return ov / tot if tot > 0 else ov
 
 
+def _cloud_elements(profile: Profile, cfg: Config,
+                    usrcld: np.ndarray | None):
+    """Yield (lwp_per_layer [nlyr], re, phase) for every cloud element."""
+    nlyr = profile.nlyr
+    if usrcld is not None:
+        u = np.asarray(usrcld, np.float64)
+        for li in range(min(len(u), nlyr)):
+            lwp_i, re_i = u[li, 0], u[li, 1]
+            if lwp_i <= 0:
+                continue
+            phase = "water"
+            if u.shape[1] > 2 and u[li, 2] < 0:
+                phase = "ice"
+            onelyr = np.zeros(nlyr)
+            onelyr[li] = lwp_i
+            yield onelyr, abs(re_i), phase
+    else:
+        for z_lo, z_hi, lwp, tc, re, phase in _slot_spans(cfg):
+            wlyr = _layer_weights(profile, z_lo, z_hi)
+            if tc != 0.0:
+                # optical depth given at 0.55 um -> equivalent LWP
+                ke55, _, _ = cloud_properties(re, np.array([0.55]), phase)
+                lwp_tot = abs(tc) / float(ke55[0])
+            else:
+                lwp_tot = lwp
+            yield lwp_tot * wlyr, re, phase
+
+
 def cloud_optical_properties(
     profile: Profile,
     cfg: Config,
@@ -84,41 +112,57 @@ def cloud_optical_properties(
     scat = np.zeros((nwl, nlyr))
     gscat = np.zeros((nwl, nlyr))
 
-    def add(lwp_layer: np.ndarray, re: float, phase: str):
+    for lwp_layer, re, phase in _cloud_elements(profile, cfg, usrcld):
         if lwp_layer.sum() <= 0:
-            return
+            continue
         ke, w0, g = cloud_properties(re, wl, phase)      # [nwl]
         t = ke[:, None] * lwp_layer[None, :]
         tau[...] += t
         scat[...] += t * w0[:, None]
         gscat[...] += t * w0[:, None] * g[:, None]
 
-    if usrcld is not None:
-        u = np.asarray(usrcld, np.float64)
-        for li in range(min(len(u), nlyr)):
-            lwp_i, re_i = u[li, 0], u[li, 1]
-            if lwp_i <= 0:
-                continue
-            phase = "water"
-            if u.shape[1] > 2 and u[li, 2] < 0:
-                phase = "ice"
-            onelyr = np.zeros(nlyr)
-            onelyr[li] = lwp_i
-            add(onelyr, abs(re_i), phase)
-    else:
-        for z_lo, z_hi, lwp, tc, re, phase in _slot_spans(cfg):
-            wlyr = _layer_weights(profile, z_lo, z_hi)
-            if tc != 0.0:
-                # optical depth given at 0.55 um -> equivalent LWP
-                ke55, _, _ = cloud_properties(re, np.array([0.55]), phase)
-                lwp_tot = abs(tc) / float(ke55[0])
-            else:
-                lwp_tot = lwp
-            add(lwp_tot * wlyr, re, phase)
-
     w0 = np.where(tau > 0, scat / np.maximum(tau, 1e-300), 0.0)
     g = np.where(scat > 0, gscat / np.maximum(scat, 1e-300), 0.0)
     return tau, w0, g
+
+
+def cloud_mie_moments(
+    profile: Profile,
+    cfg: Config,
+    wl_um: np.ndarray,
+    nmom: int,
+    usrcld: np.ndarray | None = None,
+) -> np.ndarray:
+    """Scattering-weighted TRUE Mie phase-function moments [nwl, nlyr, nmom].
+
+    The imomc=4 path (disort.f:GETMOM-class real moments instead of
+    Henyey-Greenstein): per cloud element the precomputed gamma-averaged
+    Mie moments (data/mie.py:cloud_moments) are combined with
+    scattering-optical-depth weights, exactly like g in
+    cloud_optical_properties.  Cloud-free (wl, layer) cells fall back to
+    the isotropic vector (they carry zero scattering weight downstream).
+    """
+    from sbdart_tpu.data.mie import cloud_moments
+
+    wl = np.atleast_1d(np.asarray(wl_um, np.float64))
+    nwl, nlyr = wl.shape[0], profile.nlyr
+    scat = np.zeros((nwl, nlyr))
+    mscat = np.zeros((nwl, nlyr, nmom))
+
+    for lwp_layer, re, phase in _cloud_elements(profile, cfg, usrcld):
+        if lwp_layer.sum() <= 0:
+            continue
+        ke, w0, _g = cloud_properties(re, wl, phase)
+        mom = cloud_moments(re, wl, nmom, phase)         # [nwl, nmom]
+        sc = ke[:, None] * lwp_layer[None, :] * w0[:, None]
+        scat += sc
+        mscat += sc[..., None] * mom[:, None, :]
+
+    mom = np.where(
+        scat[..., None] > 0, mscat / np.maximum(scat[..., None], 1e-300), 0.0
+    )
+    mom[..., 0] = 1.0
+    return mom
 
 
 def load_usrcld_dat(path: str, nlyr: int) -> np.ndarray:

@@ -117,7 +117,9 @@ class Config:
     btemp: float = -1.0     # bottom temperature [K]; <0 => lowest-level T
     ttemp: float = -1.0     # top temperature; <0 => highest-level T
     temis: float = 0.0      # top emissivity
-    imomc: int = 3          # cloud phase model (3 = Henyey-Greenstein)
+    imomc: int = 3          # cloud phase model: 1 isotropic, 2 Rayleigh,
+                            # 3 Henyey-Greenstein (reference default),
+                            # 4 true Mie moments (re 2-32um, wl 0.4-4um)
     corint: bool = True     # Nakajima-Tanaka TMS intensity correction
     spowder: bool = False   # snow powder layer (sub-surface scattering slab)
     prnt: List[bool] = dataclasses.field(default_factory=lambda: [False] * 7)

@@ -46,6 +46,9 @@ def component_moments(
       imom = 1: isotropic
       imom = 2: Rayleigh
       imom = 3: Henyey-Greenstein from g (the reference default)
+      imom = 4: true Mie moments (clouds only — handled by the caller via
+                clouds.cloud_mie_moments; reaching here with 4 means the
+                component has no Mie table and raises)
 
     `user_moments` (the pmaer namelist array, moments for l >= 1 with
     g_0 = 1 implied) overrides the selector when present.  Other imom
@@ -109,7 +112,12 @@ def build_optical_deck(
 
     # phase moments: Rayleigh exact; cloud/aerosol per imomc/imoma (+ pmaer)
     mom_r = rayleigh_moments(nmom)                         # [nmom]
-    mom_c = component_moments(g_c, cfg.imomc, nmom)        # [nwl, nlyr, nmom]
+    if cfg.imomc == 4:
+        from sbdart_tpu.clouds import cloud_mie_moments
+
+        mom_c = cloud_mie_moments(profile, cfg, wl, nmom, usrcld)
+    else:
+        mom_c = component_moments(g_c, cfg.imomc, nmom)    # [nwl, nlyr, nmom]
     pmaer = np.asarray([p for p in cfg.pmaer], np.float64)
     mom_a = component_moments(
         g_a, cfg.imoma, nmom,
