@@ -28,3 +28,13 @@ import jax  # noqa: E402
 if not _ON_TPU:
     # The axon plugin ignores the JAX_PLATFORMS env var; force via config too.
     jax.config.update("jax_platforms", "cpu")
+
+# The suite is compile-dominated (solver jits at many (nstr, nlyr) shapes).
+# A persistent compilation cache makes warm reruns minutes faster; keyed by
+# jaxlib version + flags, so it is safe across upgrades.
+_CACHE_DIR = os.environ.get(
+    "SBDART_TPU_TEST_CACHE", os.path.expanduser("~/.cache/sbdart_tpu_xla")
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

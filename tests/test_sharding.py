@@ -70,8 +70,10 @@ class TestShardedBatch:
         ck = str(tmp_path / "ck")
         r1 = run_batch(CFG, b, mesh=make_mesh(1), band_chunk=4,
                        col_chunk=4, checkpoint_dir=ck)
-        files = sorted(os.listdir(ck))
+        files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
         assert len(files) == 2
+        # observability sidecar (run metadata) must also be written
+        assert os.path.exists(os.path.join(ck, "run_metadata.json"))
         # resume must reuse shards (poison one file's values to prove reuse)
         poison = np.load(os.path.join(ck, files[0]))
         np.savez(os.path.join(ck, files[0]),
