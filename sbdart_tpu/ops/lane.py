@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # --------------------------------------------------------------------------
@@ -171,6 +172,91 @@ def _eigh2(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return w, v
 
 
+def _sort_ascending(w: jnp.ndarray, v: jnp.ndarray):
+    """Ascending eigenvalue sort via a static compare-swap (bubble) network."""
+    n = w.shape[0]
+    for i in range(n - 1):
+        for j in range(n - 1 - i):
+            wj, wk = w[j], w[j + 1]
+            swap = wj > wk
+            w = w.at[j].set(jnp.where(swap, wk, wj))
+            w = w.at[j + 1].set(jnp.where(swap, wj, wk))
+            vj, vk = v[:, j], v[:, j + 1]
+            v = v.at[:, j].set(jnp.where(swap[None, :], vk, vj))
+            v = v.at[:, j + 1].set(jnp.where(swap[None, :], vj, vk))
+    return w, v
+
+
+def _round_robin_pairs(n: int) -> list[list[tuple[int, int]]]:
+    """Tournament schedule: n-1 rounds of n/2 disjoint (p, q) pairs covering
+    every unordered pair exactly once (parallel Jacobi ordering)."""
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append([
+            tuple(sorted((players[i], players[n - 1 - i])))
+            for i in range(n // 2)
+        ])
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
+def _leigh_parallel(a: jnp.ndarray, v0: jnp.ndarray, sweeps: int):
+    """Parallel-ordered cyclic Jacobi for even n: each round applies n/2
+    disjoint Givens rotations at once as whole-matrix vector ops, so a
+    sweep is n-1 large steps instead of n(n-1)/2 small ones — the shape
+    the TPU VPU wants (fewer, bigger ops; same flops)."""
+    n = a.shape[0]
+    dtype = a.dtype
+    eps = jnp.finfo(dtype).eps
+    rounds = _round_robin_pairs(n)
+    # static per-round gather/sign/mask tables
+    tables = []
+    for pairs in rounds:
+        partner = np.empty(n, np.int32)
+        sgn = np.empty(n, np.float64)
+        for p, q in pairs:
+            partner[p], partner[q] = q, p
+            sgn[p], sgn[q] = -1.0, 1.0
+        tables.append((partner, sgn))
+
+    def one_sweep(_, av):
+        a, v = av
+        for pairs, (partner, sgn) in zip(rounds, tables):
+            pidx = np.array([pq[0] for pq in pairs])
+            qidx = np.array([pq[1] for pq in pairs])
+            app = jnp.stack([a[p, p] for p in pidx], 0)      # [n/2, B]
+            aqq = jnp.stack([a[q, q] for q in qidx], 0)
+            apq = jnp.stack([a[p, q] for p, q in pairs], 0)
+            small = jnp.abs(apq) <= eps * jnp.maximum(
+                jnp.abs(app) + jnp.abs(aqq), eps
+            )
+            tau = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
+            tsgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+            t = tsgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)                   # [n/2, B]
+            s = t * c
+            # scatter pair coefficients to per-row vectors [n, B]
+            pair_of = np.empty(n, np.int32)
+            for k, (p, q) in enumerate(pairs):
+                pair_of[p] = pair_of[q] = k
+            crow = c[pair_of]                                  # [n, B]
+            srow = s[pair_of] * jnp.asarray(sgn, dtype)[:, None]
+            prm = np.asarray(partner)
+            # rows: A <- J^T A  (row i' = c_i row_i + sgn_i s_i row_partner)
+            a = crow[:, None, :] * a + srow[:, None, :] * a[prm]
+            # cols: A <- A J
+            a = crow[None, :, :] * a + srow[None, :, :] * a[:, prm]
+            # eigenvector columns rotate like columns of A
+            v = crow[None, :, :] * v + srow[None, :, :] * v[:, prm]
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, one_sweep, (a, v0))
+    w = jnp.stack([a[i, i] for i in range(n)], axis=0)        # [n, B]
+    return _sort_ascending(w, v)
+
+
 def leigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric eigendecomposition of [n, n, B]: (w [n, B], v [n, n, B]).
 
@@ -188,6 +274,9 @@ def leigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
     dtype = a.dtype
     eps = jnp.finfo(dtype).eps
     v0 = jnp.zeros_like(a) + jnp.eye(n, dtype=dtype)[..., None]
+
+    if n % 2 == 0:
+        return _leigh_parallel(a, v0, sweeps)
 
     def one_sweep(_, av):
         a, v = av
