@@ -120,7 +120,11 @@ def _tile_for_vmem(floats_per_lane: int, tile_b: int) -> int:
     tb = (tb // 128) * 128
     if tb == 0:
         return 0
-    return min(tile_b, tb)
+    # Round the caller's cap UP to a lane multiple: Mosaic rejects lane tiles
+    # that are not 128-aligned (e.g. b=130 would otherwise become the tile
+    # itself and fail at compile); the callers pad b up to the tile instead.
+    cap = -(-tile_b // 128) * 128
+    return min(cap, tb)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))

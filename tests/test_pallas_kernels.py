@@ -115,7 +115,12 @@ def test_block_thomas_rt_f32_forward_error_at_conditioning_floor():
 @pytest.mark.tpu
 @pytest.mark.parametrize(
     "nlyr,n,b,coupling",
-    [(33, 2, 300, 0.4), (65, 8, 130, 0.15)],
+    # batch sweep across lane-aligned and unaligned b at both the nstr=4
+    # whole-column-VMEM shape (33, 2) and the nstr=16 streamed shape (65, 8)
+    [(33, 2, 130, 0.4), (33, 2, 256, 0.4), (33, 2, 1000, 0.4),
+     (33, 2, 6144, 0.4),
+     (65, 8, 130, 0.15), (65, 8, 256, 0.15), (65, 8, 1000, 0.15),
+     (65, 8, 6144, 0.15)],
 )
 def test_block_thomas_rt_compiled_on_tpu(nlyr, n, b, coupling):
     """Non-interpret (Mosaic-compiled) kernel vs scan on real TPU hardware.
