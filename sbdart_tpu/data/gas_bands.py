@@ -105,13 +105,24 @@ O4_BANDS = [(1.06, 0.02, 1e-5, 0.5), (1.27, 0.02, 3e-5, 0.5),
             (0.577, 0.01, 8e-6, 0.5), (0.63, 0.01, 5e-6, 0.5)]
 
 # (p, T) scaling exponents for effective absorber amounts:
-#   u_eff = u (p/p0)^np (T0/T)^nt
+#   u_eff = u ((p + p_d)/p0)^np (T0/T)^nt
 SCALING = {
     "h2o": (0.9, 0.45), "co2": (0.75, 0.5), "o3": (0.4, 0.2),
     "o2": (0.95, 0.5), "ch4": (0.8, 0.5), "n2o": (0.8, 0.5),
     "co": (0.8, 0.5), "so2": (0.8, 0.5), "nh3": (0.8, 0.5),
     "no": (0.8, 0.5), "hno3": (0.8, 0.5), "o4": (1.9, 0.5),
 }
+
+# Doppler-floor equivalent pressure p_d [mb]: below ~10 mb the Lorentz width
+# alpha_L = alpha_L0 (p/p0) (alpha_L0 ~ 0.07 cm^-1) drops under the Doppler
+# width alpha_D = 4.3e-7 nu0 sqrt(T/M), so line cores keep absorbing and a
+# pure (p/p0)^a scaling kills stratospheric absorption (measured effect:
+# the CO2 15-um stratopause cooling peak collapses from ~6.5 to ~2 K/day —
+# tests/test_heating_profile.py).  p_d = p where alpha_L = alpha_D for each
+# gas's dominant LW band (CO2 667 cm^-1, H2O rotational ~400, O3 1050).
+# SW-band gases (O2 A-band etc.) keep p_d = 0: their columns are
+# troposphere-dominated and their strengths were calibrated without it.
+DOPPLER_FLOOR_MB = {"h2o": 9.0, "co2": 10.0, "o3": 15.0}
 
 BANDS = {
     "h2o": H2O_BANDS, "co2": CO2_BANDS, "o3": O3_BANDS, "o2": O2_BANDS,

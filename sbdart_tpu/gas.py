@@ -31,6 +31,7 @@ from sbdart_tpu.atmosphere import Profile
 from sbdart_tpu.config import Config
 from sbdart_tpu.data.atmospheres import MIXING_RATIOS
 from sbdart_tpu.data.gas_bands import (
+    DOPPLER_FLOOR_MB,
     SCALING,
     band_parameters,
     h2o_continuum_coeff,
@@ -127,7 +128,12 @@ class GasAmounts:
                 u = profile.layer_gas(vmr) * 1e-20           # 1e20 molec/cm^2
             self.amounts[gas] = u
             a, b = SCALING[gas]
-            self.scaled[gas] = u * (play / P0_MB) ** a * (T0_K / tlay) ** b
+            # Doppler-floor equivalent pressure keeps stratospheric line
+            # cores absorbing (see data/gas_bands.py:DOPPLER_FLOOR_MB)
+            pd = DOPPLER_FLOOR_MB.get(gas, 0.0)
+            self.scaled[gas] = (
+                u * ((play + pd) / P0_MB) ** a * (T0_K / tlay) ** b
+            )
 
         # vapor pressure weighting for the e-type continuum
         wh_lay = 0.5 * (profile.wh[:-1] + profile.wh[1:])    # g/m^3
