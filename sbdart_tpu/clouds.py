@@ -172,22 +172,44 @@ def load_usrcld_dat(path: str, nlyr: int) -> np.ndarray:
 
 
 def apply_cloud_humidity(profile: Profile, cfg: Config) -> Profile:
-    """rhcld: set in-cloud relative humidity (affects gas absorption)."""
-    if cfg.krhclr != 0:
-        # taucloud.f's clear-layer RH adjustment variant; its exact semantics
-        # are unverifiable while the reference mount is empty — refuse rather
-        # than silently guess (work-or-raise policy).
-        raise NotImplementedError(
-            "krhclr != 0 (clear-layer relative-humidity adjustment) is not "
-            "implemented; unset krhclr or adjust the profile explicitly"
-        )
+    """rhcld: set in-cloud relative humidity (affects gas absorption).
+
+    krhclr selects what happens to CLEAR layers afterwards (sbdart.f
+    namelist; semantics per the rt.doc description — provisional until the
+    reference mount is populated, SURVEY.md section 0):
+
+      krhclr=0 (default): clear-layer vapor densities are rescaled by a
+        common factor so the COLUMN water vapor stays at its original value
+        (the in-cloud humidification is compensated outside the cloud);
+      krhclr=1: clear layers keep their original humidity; the column
+        total changes by whatever the in-cloud adjustment added.
+    """
+    if cfg.krhclr not in (0, 1):
+        raise ValueError(f"krhclr must be 0 or 1, got {cfg.krhclr}")
     if cfg.rhcld < 0:
         return profile
     spans = _slot_spans(cfg)
     if not spans:
         return profile
     wh = profile.wh.copy()
+    in_cloud = np.zeros(profile.z.shape, bool)
     for z_lo, z_hi, *_ in spans:
         sel = (profile.z >= z_lo - 0.5) & (profile.z <= z_hi + 0.5)
         wh[sel] = cfg.rhcld / 100.0 * saturation_density(profile.t[sel])
+        in_cloud |= sel
+    if cfg.krhclr == 0 and (~in_cloud).any():
+        # compensate clear layers to preserve the original column vapor;
+        # column integrals via the same trapezoid rule as layer_h2o
+        def col(whv):
+            lay = 0.5 * (whv[:-1] + whv[1:])
+            dz = -np.diff(profile.z)
+            return float(np.sum(lay * dz))
+
+        orig = col(profile.wh)
+        cloud_only = np.where(in_cloud, wh, 0.0)
+        clear_only = np.where(in_cloud, 0.0, profile.wh)
+        clear_col = col(clear_only)
+        if clear_col > 0:
+            scale = max(orig - col(cloud_only), 0.0) / clear_col
+            wh = np.where(in_cloud, wh, profile.wh * scale)
     return Profile(profile.z, profile.p, profile.t, wh, profile.wo)

@@ -160,7 +160,10 @@ def format_iout(res: SpectralResult) -> str:
                 ]) + "\n"
             )
             if iout in (5, 6) and res.uu is not None:
-                lev = s["lev_top"] if iout == 6 else s["lev_bot"]
+                # 5 = radiance at zout TOP (TOA products, the satellite
+                # channel use case), 6 = zout BOTTOM — same level pairing
+                # as the integrated 20/21 family (rt.doc; settled round 3)
+                lev = s["lev_top"] if iout == 5 else s["lev_bot"]
                 out.write(_radiance_block(res, lev, wi=i))
         return out.getvalue()
 
@@ -178,7 +181,7 @@ def format_iout(res: SpectralResult) -> str:
                 )
         return out.getvalue()
 
-    if iout in (10, 20, 21):
+    if iout in (10, 20, 21, 23):
         ffew = float(np.sum(res.fbeam_toa * res.dwl))
         vals = [
             cfg.wlinf, cfg.wlsup, ffew,
@@ -193,6 +196,12 @@ def format_iout(res: SpectralResult) -> str:
         if iout in (20, 21) and res.uu is not None:
             lev = s["lev_top"] if iout == 20 else s["lev_bot"]
             out.write(_radiance_block(res, lev))
+        if iout == 23 and res.uu is not None:
+            # both zout levels: bottom block then top block (PROVISIONAL
+            # rendering — rt.doc's iout=23 variant is unverifiable while
+            # the reference mount is empty; completes the 20/21 family)
+            out.write(_radiance_block(res, s["lev_bot"]))
+            out.write(_radiance_block(res, s["lev_top"]))
         return out.getvalue()
 
     if iout in (11, 22):

@@ -9,3 +9,4 @@ from sbdart_tpu.pallas.blocktri import (  # noqa: F401
     block_thomas,
     block_thomas_rt,
 )
+from sbdart_tpu.pallas.eig import eig_chain_lane_fused  # noqa: F401

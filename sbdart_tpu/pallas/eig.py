@@ -1,0 +1,342 @@
+"""Fused lane-eigensolve chain as a Pallas TPU kernel.
+
+Replaces the XLA op-by-op chain of solver/eig.py:_eigen_chain_lane (the
+SOLEIG/ASYMTX equivalent — SURVEY.md section 3.2 step 3) on TPU.  The XLA
+path is correct but each of the ~70 Jacobi rotation rounds (plus the
+Cholesky / matmul / triangular-solve steps around them) round-trips the
+[N, N, B] operands through HBM: measured 300 ms for (nstr=16, 65 layers,
+6144 columns) — 84% of the whole flux solve.  Here ONE kernel program holds
+a batch tile of matrices in VMEM and runs the entire chain on-chip:
+
+    HBM traffic = read cpp/cpm once + write kk/gp/gm once
+    (~0.45 GB at the shape above -> sub-ms at HBM speed; the kernel is
+    then VPU-compute-bound on the rotation arithmetic).
+
+Math is IDENTICAL to ops/lane.py (same rotation schedule, same sort
+network, same Cholesky ridge is applied by the caller): the kernel must
+match the lane fallback to f32 roundoff, which tests/test_pallas_kernels.py
+pins in interpret mode and the TPU-gated tests pin compiled.
+
+Constant gathers (the static Jacobi permutations) are expressed as unrolled
+static slices + stack so Mosaic never sees a general gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sbdart_tpu.ops.lane import _round_robin_pairs
+
+
+def _static_gather_rows(a, idx):
+    """a[idx] for a static permutation idx — unrolled slices (no gather)."""
+    return jnp.stack([a[int(i)] for i in idx], axis=0)
+
+
+def _static_gather_cols(a, idx):
+    """a[:, idx] for static idx."""
+    return jnp.stack([a[:, int(i)] for i in idx], axis=1)
+
+
+# Mosaic kernels may not capture constant ARRAYS (pallas requires they be
+# passed as inputs); every static [n]-vector (mu, w, sqrt(mu w), signs, the
+# identity) is therefore folded in as PYTHON floats through unrolled
+# per-row/per-column stacks — n is tiny and static, so this is just code.
+
+def _scale_rows(x, facs):
+    """diag(facs) @ x with facs python floats; x [n, ..., TB]."""
+    return jnp.stack([float(f) * x[i] for i, f in enumerate(facs)], axis=0)
+
+
+def _scale_cols(x, facs):
+    """x @ diag(facs); x [n, n, TB]."""
+    return jnp.stack([float(f) * x[:, j] for j, f in enumerate(facs)], axis=1)
+
+
+def _identity_like(a):
+    """eye(n)[..., None] built without a captured constant; a [n, n, TB]."""
+    n = a.shape[0]
+    one = jnp.ones_like(a[0, 0])
+    zero = jnp.zeros_like(a[0, 0])
+    return jnp.stack(
+        [jnp.stack([one if i == j else zero for j in range(n)], axis=0)
+         for i in range(n)], axis=0,
+    )
+
+
+def _jacobi_rounds(n: int):
+    """Static per-round (pairs, partner, sign) tables."""
+    rounds = _round_robin_pairs(n)
+    tables = []
+    for pairs in rounds:
+        partner = np.empty(n, np.int32)
+        sgn = np.empty(n, np.float64)
+        pair_of = np.empty(n, np.int32)
+        for k, (p, q) in enumerate(pairs):
+            partner[p], partner[q] = q, p
+            sgn[p], sgn[q] = -1.0, 1.0
+            pair_of[p] = pair_of[q] = k
+        tables.append((pairs, partner, sgn, pair_of))
+    return tables
+
+
+def _eigh2_inline(a):
+    """Closed-form symmetric 2x2 eigendecomposition (ops/lane.py:_eigh2).
+
+    Same convention as the lane version (theta = atan2(2q, p-d)/2) but via
+    half-angle algebra — Mosaic has no atan2 lowering.  cos(theta) >= 0 for
+    theta in (-pi/2, pi/2] matches atan2's range; the sign of sin(theta)
+    follows sin(2 theta) = 2q/r.
+    """
+    p, q, d = a[0, 0], a[0, 1], a[1, 1]
+    diff = p - d
+    r = jnp.sqrt(diff * diff + 4.0 * q * q)
+    safe = r > 0.0
+    rs = jnp.where(safe, r, 1.0)
+    cos2 = jnp.where(safe, diff / rs, 1.0)
+    sin2 = jnp.where(safe, 2.0 * q / rs, 0.0)
+    c = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2), 0.0))
+    s = jnp.where(sin2 >= 0.0, 1.0, -1.0) * jnp.sqrt(
+        jnp.maximum(0.5 * (1.0 - cos2), 0.0)
+    )
+    wa = c * c * p + 2.0 * c * s * q + s * s * d
+    wb = s * s * p - 2.0 * c * s * q + c * c * d
+    lo = wa <= wb
+    w1 = jnp.where(lo, wa, wb)
+    w2 = jnp.where(lo, wb, wa)
+    v11 = jnp.where(lo, c, -s)
+    v21 = jnp.where(lo, s, c)
+    v12 = jnp.where(lo, -s, c)
+    v22 = jnp.where(lo, c, s)
+    w = jnp.stack([w1, w2], axis=0)
+    v = jnp.stack(
+        [jnp.stack([v11, v12], axis=0), jnp.stack([v21, v22], axis=0)],
+        axis=0,
+    )
+    return w, v
+
+
+def _leigh_inline(a, sweeps: int):
+    """Parallel-ordered cyclic Jacobi on [n, n, TB]; returns (w, v).
+
+    Same math as ops/lane.py:_leigh_parallel, with the static permutations
+    unrolled for Mosaic.  n must be even (n = nstr/2 with nstr a multiple
+    of 4 covers every production config; odd n falls back to XLA upstream).
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    eps = jnp.finfo(dtype).eps
+    v0 = _identity_like(a)
+    tables = _jacobi_rounds(n)
+
+    def one_sweep(_, av):
+        a, v = av
+        for pairs, partner, sgn, pair_of in tables:
+            app = jnp.stack([a[p, p] for p, _ in pairs], 0)    # [n/2, TB]
+            aqq = jnp.stack([a[q, q] for _, q in pairs], 0)
+            apq = jnp.stack([a[p, q] for p, q in pairs], 0)
+            small = jnp.abs(apq) <= eps * jnp.maximum(
+                jnp.abs(app) + jnp.abs(aqq), eps
+            )
+            tau = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
+            tsgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+            t = tsgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            crow = _static_gather_rows(c, pair_of)             # [n, TB]
+            srow = _scale_rows(_static_gather_rows(s, pair_of), sgn)
+            a_prm = _static_gather_rows(a, partner)            # rows permuted
+            a = crow[:, None, :] * a + srow[:, None, :] * a_prm
+            a_cprm = _static_gather_cols(a, partner)
+            a = crow[None, :, :] * a + srow[None, :, :] * a_cprm
+            v_cprm = _static_gather_cols(v, partner)
+            v = crow[None, :, :] * v + srow[None, :, :] * v_cprm
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, one_sweep, (a, v0))
+    w = jnp.stack([a[i, i] for i in range(n)], axis=0)
+
+    # ascending sort: branchless compare-swap network (no .at updates)
+    for i in range(n - 1):
+        for j in range(n - 1 - i):
+            wj, wk = w[j], w[j + 1]
+            swap = wj > wk
+            w_rows = [w[r] for r in range(n)]
+            w_rows[j] = jnp.where(swap, wk, wj)
+            w_rows[j + 1] = jnp.where(swap, wj, wk)
+            w = jnp.stack(w_rows, axis=0)
+            vj, vk = v[:, j], v[:, j + 1]
+            v_cols = [v[:, r] for r in range(n)]
+            v_cols[j] = jnp.where(swap[None, :], vk, vj)
+            v_cols[j + 1] = jnp.where(swap[None, :], vj, vk)
+            v = jnp.stack(v_cols, axis=1)
+    return w, v
+
+
+def _chol_inline(a):
+    """Lower Cholesky of SPD [n, n, TB] (ops/lane.py:lcholesky, verbatim)."""
+    n = a.shape[0]
+    rows = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = a[j, j]
+        for k in range(j):
+            s = s - rows[j][k] * rows[j][k]
+        d = jnp.sqrt(s)
+        rows[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s2 = a[i, j]
+            for k in range(j):
+                s2 = s2 - rows[i][k] * rows[j][k]
+            rows[i][j] = s2 * inv_d
+        for k in range(j + 1, n):
+            rows[j][k] = jnp.zeros_like(d)
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+
+def _solve_ut_inline(u, b):
+    """U x = b, U upper-tri [n, n, TB], b [n, m, TB]."""
+    n = u.shape[0]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = b[i]
+        for k in range(i + 1, n):
+            s = s - u[i, k][None, :] * x[k]
+        x[i] = s / u[i, i][None, :]
+    return jnp.stack(x, axis=0)
+
+
+def _mm(a, b):
+    return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
+
+
+def _eig_chain_inline(cppl, cpml, mu, w, sweeps):
+    """The full SOLEIG chain on lane-layout values (jnp, kernel-safe).
+
+    mu/w arrive as numpy arrays and are folded in as python-float scalars
+    (see the note above _scale_rows).
+    """
+    n = cppl.shape[0]
+    eye = _identity_like(cppl)
+    inv_mu = [1.0 / float(m) for m in mu]
+    wf = [float(x) for x in w]
+    amb = _scale_rows(eye - _scale_cols(cppl + cpml, wf), inv_mu)
+    apb = _scale_rows(eye - _scale_cols(cppl - cpml, wf), inv_mu)
+
+    p = np.sqrt(np.asarray(mu) * np.asarray(w))
+    s_minus = _scale_cols(_scale_rows(amb, p), 1.0 / p)
+    s_plus = _scale_cols(_scale_rows(apb, p), 1.0 / p)
+    s_minus = 0.5 * (s_minus + jnp.swapaxes(s_minus, 0, 1))
+    s_plus = 0.5 * (s_plus + jnp.swapaxes(s_plus, 0, 1))
+
+    eps = jnp.finfo(cppl.dtype).eps
+    trace = jnp.sum(s_minus * eye, axis=(0, 1))
+    s_minus = s_minus + (8.0 * eps / n) * trace * eye
+    l = _chol_inline(s_minus)
+    lt = jnp.swapaxes(l, 0, 1)
+    lt_sp_l = _mm(_mm(lt, s_plus), l)
+    lt_sp_l = 0.5 * (lt_sp_l + jnp.swapaxes(lt_sp_l, 0, 1))
+    if n == 2:
+        k2, v = _eigh2_inline(lt_sp_l)      # nstr=4: closed form
+    else:
+        k2, v = _leigh_inline(lt_sp_l, sweeps)
+    kk = jnp.sqrt(jnp.maximum(k2, 1e-30))
+
+    z = _solve_ut_inline(lt, v)
+    x = _scale_rows(z, 1.0 / p)
+    y = -_mm(amb, x) / kk[None, :, :]
+    gp = 0.5 * (x + y)
+    gm = 0.5 * (x - y)
+    return kk, gp, gm
+
+
+def _kernel(mu, w, sweeps, cpp_ref, cpm_ref, kk_ref, gp_ref, gm_ref):
+    kk, gp, gm = _eig_chain_inline(
+        cpp_ref[...], cpm_ref[...], mu, w, sweeps
+    )
+    kk_ref[...] = kk
+    gp_ref[...] = gp
+    gm_ref[...] = gm
+
+
+def _tile_for_vmem(floats_per_lane: int, tile_b: int) -> int:
+    budget = 10 * 1024 * 1024
+    tb = budget // (4 * floats_per_lane)
+    tb = (tb // 128) * 128
+    if tb == 0:
+        return 0
+    cap = -(-tile_b // 128) * 128      # lane-aligned cap (pad b up to tile)
+    return min(cap, tb)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu_t", "w_t", "sweeps", "tile_b", "interpret")
+)
+def _eig_lane_call(cppl, cpml, *, mu_t, w_t, sweeps, tile_b, interpret):
+    n = cppl.shape[0]
+    b = cppl.shape[-1]
+    dtype = cppl.dtype
+    mu = np.asarray(mu_t, np.float64)
+    w = np.asarray(w_t, np.float64)
+
+    # working set: ~14 n^2-matrices (inputs, amb/apb, s_minus/s_plus, l,
+    # lt_sp_l, a, v, gp/gm, temporaries) + vectors
+    floats = 14 * n * n + 6 * n
+    tb = _tile_for_vmem(floats, min(tile_b, max(128, b)))
+    if tb == 0:
+        raise ValueError(f"eig kernel working set too large (n={n})")
+    pad = (-b) % tb
+    if pad:
+        # identity-ish pad: cpp = cpm = 0 -> amb/apb = M^-1, SPD, harmless
+        cppl = jnp.pad(cppl, [(0, 0), (0, 0), (0, pad)])
+        cpml = jnp.pad(cpml, [(0, 0), (0, 0), (0, pad)])
+    b_pad = b + pad
+    grid = (b_pad // tb,)
+
+    mat_spec = pl.BlockSpec(
+        (n, n, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec((n, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        kk, gp, gm = pl.pallas_call(
+            functools.partial(_kernel, mu, w, sweeps),
+            grid=grid,
+            in_specs=[mat_spec, mat_spec],
+            out_specs=[vec_spec, mat_spec, mat_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, b_pad), dtype),
+                jax.ShapeDtypeStruct((n, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((n, n, b_pad), dtype),
+            ],
+            interpret=interpret,
+        )(cppl, cpml)
+    if pad:
+        kk, gp, gm = kk[..., :b], gp[..., :b], gm[..., :b]
+    return kk, gp, gm
+
+
+def eig_chain_lane_fused(
+    cppl: jnp.ndarray,     # [N, N, B] same-hemisphere scatter matrix (lane)
+    cpml: jnp.ndarray,     # [N, N, B] cross-hemisphere
+    mu: np.ndarray,        # [N] quadrature cosines (static)
+    w: np.ndarray,         # [N] weights (static)
+    *,
+    sweeps: int = 10,
+    tile_b: int = 2048,
+    interpret: bool = False,
+):
+    """(kk [N, B], gp [N, N, B], gm [N, N, B]) — fused SOLEIG chain."""
+    return _eig_lane_call(
+        cppl, cpml,
+        mu_t=tuple(float(x) for x in np.asarray(mu)),
+        w_t=tuple(float(x) for x in np.asarray(w)),
+        sweeps=sweeps, tile_b=tile_b, interpret=interpret,
+    )

@@ -103,7 +103,28 @@ def solve_eigen(
 
     if eig_method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        eig_method = "lane" if (on_tpu and n <= 16) else "xla"
+        # fused Pallas kernel: even reduced dimension (parallel Jacobi
+        # schedule) and n <= 8 (constants are unrolled as scalar code —
+        # n=8 covers every BASELINE config; bigger n falls back to lane)
+        if on_tpu and n <= 8 and n % 2 == 0:
+            eig_method = "pallas"
+        elif on_tpu and n <= 16:
+            eig_method = "lane"
+        else:
+            eig_method = "xla"
+    if eig_method in ("pallas", "pallas_interpret"):
+        from sbdart_tpu.pallas.eig import eig_chain_lane_fused
+
+        cppl, batch_shape = lane.to_lane(cpp)
+        cpml, _ = lane.to_lane(cpm)
+        kk_l, gp_l, gm_l = eig_chain_lane_fused(
+            cppl, cpml, tab.mu, tab.w,
+            interpret=(eig_method == "pallas_interpret"),
+        )
+        kk = lane.from_lane(kk_l, batch_shape)
+        gp = lane.from_lane(gp_l, batch_shape)
+        gm = lane.from_lane(gm_l, batch_shape)
+        return EigResult(kk, gp, gm, cpp, cpm)
     if eig_method in ("lane", "jacobi"):
         kk, gp, gm = _eigen_chain_lane(cpp, cpm, mu, w, dtype)
         return EigResult(kk, gp, gm, cpp, cpm)

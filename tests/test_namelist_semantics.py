@@ -107,8 +107,45 @@ class TestRefusals:
         with pytest.raises(NotImplementedError, match="spowder"):
             run_pipeline(Config(spowder=True))
 
-    def test_krhclr_raises(self):
-        with pytest.raises(NotImplementedError, match="krhclr"):
-            run_pipeline(Config(krhclr=1, rhcld=90.0,
-                                zcloud=[2.0, 0, 0, 0, 0],
-                                tcloud=[5.0, 0, 0, 0, 0]))
+    def test_krhclr_invalid_raises(self):
+        from sbdart_tpu.atmosphere import build_profile
+        from sbdart_tpu.clouds import apply_cloud_humidity
+
+        cfg = Config(krhclr=2, rhcld=90.0,
+                     zcloud=[2.0, 0, 0, 0, 0], tcloud=[5.0, 0, 0, 0, 0])
+        with pytest.raises(ValueError, match="krhclr"):
+            apply_cloud_humidity(build_profile(cfg), cfg)
+
+
+class TestKrhclr:
+    """rhcld + krhclr semantics (clouds.py:apply_cloud_humidity)."""
+
+    def _profiles(self, krhclr):
+        from sbdart_tpu.atmosphere import build_profile
+        from sbdart_tpu.clouds import apply_cloud_humidity
+
+        cfg = Config(idatm=2, rhcld=95.0, krhclr=krhclr,
+                     zcloud=[2.0, 0, 0, 0, 0], tcloud=[8.0, 0, 0, 0, 0])
+        p0 = build_profile(cfg)
+        return p0, apply_cloud_humidity(p0, cfg)
+
+    @staticmethod
+    def _col(profile):
+        lay = 0.5 * (profile.wh[:-1] + profile.wh[1:])
+        return float(np.sum(lay * -np.diff(profile.z)))
+
+    def test_krhclr0_preserves_column_vapor(self):
+        p0, p1 = self._profiles(0)
+        assert self._col(p1) == pytest.approx(self._col(p0), rel=1e-10)
+        # and the in-cloud humidity actually changed
+        assert not np.allclose(p0.wh, p1.wh)
+
+    def test_krhclr1_keeps_clear_layers(self):
+        p0, p1 = self._profiles(1)
+        clear = p0.z > 4.0     # above the 2 km cloud (+0.5 km margin)
+        np.testing.assert_allclose(p1.wh[clear], p0.wh[clear])
+        # in-cloud levels humidified
+        incld = np.abs(p0.z - 2.0) <= 0.5
+        assert not np.allclose(p1.wh[incld], p0.wh[incld])
+        # column vapor differs from original (no compensation)
+        assert self._col(p1) != pytest.approx(self._col(p0), rel=1e-6)

@@ -169,3 +169,93 @@ def test_block_thomas_needs_pivoting():
     xs_s = np.asarray(block_thomas_scan(*args))
     assert np.isfinite(xs_k).all()
     assert np.allclose(xs_k, xs_s, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused eigensolve chain kernel (pallas/eig.py)
+# ---------------------------------------------------------------------------
+
+def _eig_problem(nstr, nlyr, b, seed=3):
+    from sbdart_tpu.solver.eig import angular_tables
+
+    tab = angular_tables(nstr, 1)
+    rng = np.random.default_rng(seed)
+    ssalb = rng.uniform(0.05, 0.999, (b, 1, nlyr))
+    g = rng.uniform(0.0, 0.85, (b, 1, nlyr))
+    gl = g[..., None] ** np.arange(nstr)
+    return tab, ssalb, gl
+
+
+@pytest.mark.parametrize("nstr,nlyr,b", [(4, 5, 7), (8, 3, 130), (16, 9, 13)])
+def test_eig_kernel_matches_lane(nstr, nlyr, b):
+    """Fused Pallas eigensolve == XLA lane chain (interpret mode).
+
+    Both are backward-stable f32 evaluations of the same chain in different
+    op orders; near-conservative layers amplify eigenvector roundoff to the
+    shared ~4e-4 f32 floor (measured against an f64 reference: lane 1.5e-4
+    / 3.9e-4, kernel 1.9e-4 / 3.9e-4 for gp / gm at nstr=16), so the
+    pairwise tolerance is 1e-3 with kk much tighter.
+    """
+    from sbdart_tpu.solver.eig import solve_eigen
+    import jax.numpy as jnp
+
+    tab, ssalb, gl = _eig_problem(nstr, nlyr, b)
+    a32 = jnp.asarray(ssalb, jnp.float32), jnp.asarray(gl, jnp.float32)
+    e_lane = solve_eigen(*a32, tab, jnp.float32, eig_method="lane")
+    e_pal = solve_eigen(*a32, tab, jnp.float32,
+                        eig_method="pallas_interpret")
+    assert np.abs(np.asarray(e_lane.kk) - np.asarray(e_pal.kk)).max() < 5e-5
+    for name in ("gp", "gm"):
+        err = np.abs(
+            np.asarray(getattr(e_lane, name))
+            - np.asarray(getattr(e_pal, name))
+        ).max()
+        assert err < 1e-3, (name, err)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("nstr,b", [(4, 300), (8, 130), (16, 2048)])
+def test_eig_kernel_compiled_on_tpu(nstr, b):
+    """Mosaic-compiled fused eigensolve vs lane chain on real hardware.
+
+    Eigenvalues must agree tightly; individual EIGENVECTORS may differ at
+    isolated near-conservative lanes (near-degenerate k's rotate freely in
+    their subspace — measured: 4.5e-5 of gp entries differ > 1e-3 at
+    ssalb ~ 0.995, both answers valid), so the vector-level check is the
+    PHYSICAL one: end-to-end fluxes through the full solve (measured
+    agreement 1.9e-4 relative at (16, 2048)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sbdart_tpu.solver.disort import solve_rte
+    from sbdart_tpu.solver.eig import solve_eigen
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    tab, ssalb, gl = _eig_problem(nstr, 9, b)
+    a32 = jnp.asarray(ssalb, jnp.float32), jnp.asarray(gl, jnp.float32)
+    e_lane = solve_eigen(*a32, tab, jnp.float32, eig_method="lane")
+    e_pal = solve_eigen(*a32, tab, jnp.float32, eig_method="pallas")
+    assert np.abs(np.asarray(e_lane.kk) - np.asarray(e_pal.kk)).max() < 5e-5
+
+    nlyr = 33
+    rng = np.random.default_rng(5)
+    dtau = jnp.asarray(rng.uniform(0.001, 0.6, (b, nlyr)), jnp.float32)
+    ssalb2 = jnp.asarray(rng.uniform(0.05, 0.999, (b, nlyr)), jnp.float32)
+    g = rng.uniform(0.0, 0.85, (b, nlyr))
+    pmom = jnp.asarray(g[..., None] ** np.arange(nstr + 1), jnp.float32)
+    fbeam = jnp.ones((b,), jnp.float32)
+    umu0 = jnp.asarray(rng.uniform(0.2, 1.0, (b,)), jnp.float32)
+    alb = jnp.asarray(rng.uniform(0.0, 0.8, (b,)), jnp.float32)
+
+    def run(method):
+        o = solve_rte(dtau, ssalb2, pmom, nstr=nstr, fbeam=fbeam, umu0=umu0,
+                      albedo=alb, onlyfl=True, dtype=jnp.float32,
+                      eig_method=method)
+        return np.asarray(o.rfldn), np.asarray(o.flup)
+
+    rp, fp = run("pallas")
+    rl, fl = run("lane")
+    assert np.abs(rp - rl).max() < 5e-4 * np.abs(rl).max()
+    assert np.abs(fp - fl).max() < 5e-4 * max(np.abs(fl).max(), 1e-6)
