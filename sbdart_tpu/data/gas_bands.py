@@ -191,13 +191,15 @@ def h2o_continuum_coeff(wl_um: np.ndarray) -> np.ndarray:
     window e-type continuum, simplified to k = C(lam) * u * (e/e0) with the
     vapor-pressure weighting folded into an effective quadratic amount.
 
-    Band-wing values (7-9, 13-14.5 um) CALIBRATED 2026-08-20 (x 2.5 vs
-    round 1) against the LBL-class surface downward-longwave anchors of
-    tests/test_gas_calibration.py; window values (9.3-12 um) unchanged.
+    Band-wing values (7-9, 13-14.5 um) REVERTED 2026-08-21 to the round-1
+    magnitudes: the round-2 x2.5 inflation compensated the old band model's
+    missing wing structure, which the 20 cm^-1 tables (data/gas_bands20.py)
+    now carry explicitly; keeping both double-counted the window-edge
+    opacity (+10-20% DLR).
     """
     wl = np.asarray(wl_um, np.float64)
     pts = np.array([
-        [7.0, 0.75], [8.0, 0.30], [9.0, 0.175], [10.0, 0.06], [11.0, 0.08],
-        [12.0, 0.12], [13.0, 0.50], [14.0, 0.875],
+        [7.0, 0.30], [8.0, 0.12], [9.0, 0.07], [10.0, 0.06], [11.0, 0.08],
+        [12.0, 0.12], [13.0, 0.20], [14.0, 0.35],
     ])
     return np.interp(wl, pts[:, 0], pts[:, 1], left=0.0, right=1.2)

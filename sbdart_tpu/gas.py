@@ -162,10 +162,18 @@ def gas_optical_depth(
     wk = np.tile(_GL3_W if nk == 3 else np.array([1.0]), (nwl, 1))
 
     # --- line absorbers: Malkmus bands ------------------------------------
+    # Major gases use the 20 cm^-1 tables (published band intensities +
+    # spectroscopic envelopes — data/gas_bands20.py); minor gases keep the
+    # band-scale envelopes of data/gas_bands.py.
+    from sbdart_tpu.data.gas_bands20 import FEATURES20, band_parameters20
+
     line_gases = [g for g in SCALING if g != "n2"]
     svals = {}
     for gas in line_gases:
-        s, beta = band_parameters(gas, wl)
+        if gas in FEATURES20:
+            s, beta = band_parameters20(gas, wl)
+        else:
+            s, beta = band_parameters(gas, wl)
         svals[gas] = (s, beta)
 
     ucols = {g: max(amounts.scaled[g].sum(), 1e-300) for g in line_gases}

@@ -1,7 +1,8 @@
 """Gas-absorption data pinned to external quantitative anchors.
 
 Round 1's band strengths were order-of-magnitude placeholders; these tests
-pin the calibrated data (sbdart_tpu/data/gas_bands.py) to published
+pin the calibrated data (data/gas_bands20.py 20 cm^-1 tables for the
+major gases + data/gas_bands.py continua) to published
 integral anchors:
 
   * Lacis & Hansen (1974, J. Atmos. Sci. 31, 118): water-vapor and ozone
@@ -21,7 +22,8 @@ import pytest
 
 from sbdart_tpu.atmosphere import build_profile
 from sbdart_tpu.config import Config
-from sbdart_tpu.data.gas_bands import band_parameters, o3_continuum_xsec
+from sbdart_tpu.data.gas_bands import o3_continuum_xsec
+from sbdart_tpu.data.gas_bands20 import band_parameters20 as band_parameters
 from sbdart_tpu.data.solar import solar_table
 from sbdart_tpu.gas import GasAmounts, malkmus_transmission
 
