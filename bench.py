@@ -138,16 +138,19 @@ def _bvp_fused_sol(nlyr=65, n=8, b=8192, K=16) -> float:
 
 
 def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
-    """FLOP-model %SOL of the lane eigensolve chain vs the VPU f32 peak.
+    """FLOP-model %SOL of the PRODUCTION eigensolve vs the VPU f32 peak.
 
-    FLOP model per (layer, mode) matrix of size n = nstr/2: Cholesky n^3/3,
-    Jacobi 10 sweeps x n(n-1)/2 rotations x ~12n flops, triangular solve
-    n^3, assembly matmuls ~4 n^3 — an analytic estimate, so the %SOL is an
-    order-of-magnitude efficiency indicator, not a measured roofline.
+    Measures the auto-dispatched path (the fused Pallas kernel on TPU,
+    pallas/eig.py).  FLOP model per (layer, mode) matrix of size
+    n = nstr/2: Cholesky n^3/3, Jacobi DEFAULT_SWEEPS x n(n-1)/2 rotations
+    x ~12n flops, triangular solve n^3, assembly matmuls ~4 n^3 — an
+    analytic estimate, so the %SOL is an order-of-magnitude efficiency
+    indicator, not a measured roofline.
     """
     import jax
     import jax.numpy as jnp
 
+    from sbdart_tpu.pallas.eig import DEFAULT_SWEEPS
     from sbdart_tpu.solver.eig import angular_tables, solve_eigen
 
     if jax.default_backend() != "tpu":
@@ -164,7 +167,7 @@ def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
         def body(acc, _):
             e = solve_eigen(
                 ssalb * (1 + 1e-6 * acc), gl, tab, jnp.float32,
-                eig_method="lane",
+                eig_method="auto",
             )
             return jnp.mean(e.kk), ()
         out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=K)
@@ -173,16 +176,30 @@ def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
     t = _timeit(chain, ssalb, gl) / K
     nmat = b * nlyr
     flops = nmat * (
-        n**3 / 3.0 + 10 * (n * (n - 1) / 2) * 12 * n + n**3 + 4 * n**3
+        n**3 / 3.0
+        + DEFAULT_SWEEPS * (n * (n - 1) / 2) * 12 * n
+        + n**3 + 4 * n**3
     )
     return 100.0 * (flops / t / 1e12) / VPU_F32_TFLOPS
 
 
 def main() -> None:
+    import os
+
     rate4 = _throughput(nstr=4, nlyr=33, nbc=16384)
     rate16 = _throughput(nstr=16, nlyr=65, nbc=2048)
     sol_bvp = _bvp_fused_sol()
     sol_eig = _eig_lane_sol()
+
+    # weak-scaling efficiency from the committed measurement artifact
+    # (benchmarks/weak_scaling.py writes it; BASELINE.md scaling row)
+    ws_eff = None
+    ws_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "weak_scaling.json")
+    if os.path.exists(ws_path):
+        with open(ws_path) as fh:
+            ws = json.load(fh)
+        ws_eff = ws.get("efficiency_vs_linear")
 
     print(json.dumps({
         "metric": "band_columns_per_sec_per_chip",
@@ -195,6 +212,7 @@ def main() -> None:
             "nstr16_nlyr65_bc_per_s": round(rate16, 1),
             "bvp_fused_sol_pct": None if sol_bvp != sol_bvp else round(sol_bvp, 1),
             "eig_lane_sol_pct": None if sol_eig != sol_eig else round(sol_eig, 1),
+            "weak_scaling_efficiency_cpu_mesh": ws_eff,
         },
     }))
 

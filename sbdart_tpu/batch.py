@@ -250,8 +250,16 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
             f_up = jnp.einsum("cbk,cbkv->cv", w, out.flup)
             return (acc[0] + f_dir, acc[1] + f_dn, acc[2] + f_up), None
 
-        c = params["csza"].shape[0]
-        acc0 = tuple(jnp.zeros((c, nlev), dtype) for _ in range(3))
+        # zero accumulators DERIVED from operands varying over BOTH mesh
+        # axes (data via csza, band via the chunked band tables) so the
+        # scan carry's varying-manual-axes check passes (check_vma=True)
+        zero_band = (chunks["fbeam"].ravel()[0] * 0.0).astype(dtype)
+        zero_cv = (
+            (params["csza"][:, None] * 0.0).astype(dtype)
+            + jnp.zeros((1, nlev), dtype)
+            + zero_band
+        )
+        acc0 = tuple(zero_cv for _ in range(3))
         acc, _ = jax.lax.scan(per_chunk, acc0, chunks)
         # the only collective: band-partial integrals summed over 'band'
         acc = tuple(jax.lax.psum(a, "band") for a in acc)
@@ -268,9 +276,6 @@ def build_batch_fn(cfg: Config, *, band_chunk: int = 32, dtype=None,
         mesh=mesh,
         in_specs=(P("band"), P(None, "data")),
         out_specs=P("data", None),
-        # scan carries in the BVP start as unvarying zeros; skip the
-        # varying-manual-axes strictness (semantics unchanged)
-        check_vma=False,
     )
     jitted = jax.jit(sharded)
 

@@ -24,9 +24,12 @@ class Config:
     # ----- spectral range / resolution (sbdart.f namelist &INPUT) ---------
     wlinf: float = 0.55     # lower wavelength limit [um]
     wlsup: float = 0.55     # upper wavelength limit [um]
-    wlinc: float = 0.0      # increment; 0 => default stepping (see pipeline)
-                            # >0: step in um; in (-1,0): |wlinc| step in cm^-1? ;
-                            # <-1: resolving power lambda/dlambda = |wlinc|
+    wlinc: float = 0.0      # increment; 0 => default stepping. PINNED story
+                            # (solar.py:spectral_grid implements exactly
+                            # this): > 0 -> step in um; <= -1 -> |wlinc|
+                            # step in wavenumber [cm^-1]; in (-1, 0) ->
+                            # constant resolving power R = 1/|wlinc|
+                            # (dlam = |wlinc| * lam)
     isat: int = 0           # satellite filter: 0 none, -1 filter.dat, >0 builtin
     nf: int = 2             # solar spectrum db: 0 flat, 1 5S, 2 LOWTRAN7, 3 MODTRAN3, -1 solar.dat
 

@@ -253,12 +253,19 @@ def generate_aerosol_tables(progress: bool = False) -> dict:
 def tables() -> dict:
     if os.path.exists(_NPZ):
         with np.load(_NPZ) as z:
-            return {k: z[k] for k in z.files}
-    t = generate_aerosol_tables()
-    try:
-        np.savez_compressed(_NPZ, **t)
-    except OSError:
-        pass
+            t = {k: z[k] for k in z.files}
+    else:
+        t = generate_aerosol_tables()
+        try:
+            np.savez_compressed(_NPZ, **t)
+        except OSError:
+            pass
+    # the cached dict of arrays is shared by ALL callers for the process
+    # lifetime: freeze the arrays so an accidental in-place edit cannot
+    # corrupt every later bl_model/strat_model lookup
+    for arr in t.values():
+        if isinstance(arr, np.ndarray):
+            arr.setflags(write=False)
     return t
 
 

@@ -18,9 +18,6 @@ import numpy as np
 
 from sbdart_tpu.data.aerosol_mie import BL_MODELS, STRAT_MODELS, tables
 
-WL = None   # set at import from the table grid (back-compat export)
-RH_GRID = None
-
 # default layer center altitudes [km] for the 5 stratospheric slots when
 # zaer is not given (SBDART: jaer slots at ~20, 25, 30, 35, 40 km bands)
 STRAT_DEFAULT_Z = [20.0, 25.0, 30.0, 35.0, 40.0]
@@ -31,7 +28,14 @@ def _grid():
     return t["wl"], t["rh"], t
 
 
-WL, RH_GRID, _ = _grid()
+def __getattr__(name):
+    # Lazy WL/RH_GRID: touching tables() at import time would silently run
+    # a minutes-long Mie regeneration if the packaged npz were missing;
+    # defer so the cost (and any error) surfaces at first USE instead.
+    if name in ("WL", "RH_GRID"):
+        wl, rh, _ = _grid()
+        return wl if name == "WL" else rh
+    raise AttributeError(name)
 
 
 def _interp_wl(wl_grid: np.ndarray, y: np.ndarray, wl: np.ndarray):

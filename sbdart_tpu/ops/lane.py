@@ -257,13 +257,18 @@ def _leigh_parallel(a: jnp.ndarray, v0: jnp.ndarray, sweeps: int):
     return _sort_ascending(w, v)
 
 
-def leigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
+def leigh(a: jnp.ndarray, sweeps: int = 6) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric eigendecomposition of [n, n, B]: (w [n, B], v [n, n, B]).
 
     Eigenvalues ascending, eigenvector columns v[:, j] matching
     jnp.linalg.eigh conventions.  n == 2 is closed-form; larger n runs
     cyclic Jacobi with the rotation order unrolled (static) and the sweep
     count as a fori_loop.
+
+    Default sweeps: measured on the solver's physics matrices at n = 8
+    (incl. near-conservative layers) — eigenvalue error and eigenpair
+    residual reach the f32 floor by sweep 3 and are bit-stable from 4;
+    6 keeps a 2x margin (see pallas/eig.py:DEFAULT_SWEEPS).
     """
     n = a.shape[0]
     if n == 1:
@@ -311,15 +316,4 @@ def leigh(a: jnp.ndarray, sweeps: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     a, v = jax.lax.fori_loop(0, sweeps, one_sweep, (a, v0))
     w = jnp.stack([a[i, i] for i in range(n)], axis=0)   # [n, B]
-
-    # ascending sort via a static compare-swap network (bubble: n(n-1)/2)
-    for i in range(n - 1):
-        for j in range(n - 1 - i):
-            wj, wk = w[j], w[j + 1]
-            swap = wj > wk
-            w = w.at[j].set(jnp.where(swap, wk, wj))
-            w = w.at[j + 1].set(jnp.where(swap, wj, wk))
-            vj, vk = v[:, j], v[:, j + 1]
-            v = v.at[:, j].set(jnp.where(swap[None, :], vk, vj))
-            v = v.at[:, j + 1].set(jnp.where(swap[None, :], vj, vk))
-    return w, v
+    return _sort_ascending(w, v)

@@ -229,10 +229,11 @@ def block_thomas_scan(diag, lower, upper, rhs):
     diag/lower/upper [L, m, m, B], rhs [L, m, B] -> xs [L, m, B].
     """
     m2 = diag.shape[1]
-    b_flat = rhs.shape[-1]
-    dtype = diag.dtype
-    w0 = jnp.zeros((m2, m2, b_flat), dtype)
-    y0 = jnp.zeros((m2, b_flat), dtype)
+    # derive the zero carries from the varying operands (not fresh
+    # constants) so the carry's varying-manual-axes match under
+    # shard_map(check_vma=True) — see batch.py
+    w0 = diag[0] * 0.0
+    y0 = rhs[0] * 0.0
 
     def fwd(carry, inp):
         w_prev, y_prev = carry
