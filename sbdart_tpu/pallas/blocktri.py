@@ -34,35 +34,42 @@ from jax.experimental.pallas import tpu as pltpu
 def _solve_step(dt, rhs_aug):
     """Solve dt @ X = rhs_aug for [m, m, TB] dt, [m, r, TB] rhs_aug.
 
-    Branchless masked partial-pivoted GE: no scatters, no dynamic slices —
-    every update is a where/select over the full [m, m+r, TB] block, which
-    is what Mosaic lowers cleanly.
+    Branchless partial-pivoted GE with IMPLICIT pivoting: rows are never
+    physically exchanged — each step argmax-selects a pivot row per lane,
+    eliminates it from every remaining row in place, and saves the pivot
+    row for the back-substitution.  That is 2 full [m, m+r, TB] passes per
+    step (select + update) vs 4 for the explicit-swap formulation the
+    round-2 kernel used (select + two swap-selects + update): same
+    pivoting decisions bit-for-bit, ~1.5x less VPU work, and still no
+    scatters or dynamic slices (Mosaic-clean).
     """
     m = dt.shape[0]
     tb = dt.shape[-1]
     aug = jnp.concatenate([dt, rhs_aug], axis=1)       # [m, m+r, TB]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)   # [m, 1]
+    eliminated = jnp.zeros((m, tb), jnp.bool_)
+    prows = []
     for k in range(m):
         col = jnp.abs(aug[:, k, :])                    # [m, TB]
-        col = jnp.where(row_ids < k, -1.0, col)
+        col = jnp.where(eliminated, -1.0, col)
         piv = jax.lax.argmax(col, axis=0, index_dtype=jnp.int32)   # [TB]
         sel_p = (row_ids == piv[None, :])              # [m, TB]
-        sel_k = (row_ids == k)                         # [m, 1]
-        row_k = aug[k]                                 # [m+r, TB]
         row_p = jnp.sum(jnp.where(sel_p[:, None, :], aug, 0.0), axis=0)
-        # swap rows k and piv: row k <- row_p, row piv <- row_k
-        aug = jnp.where(sel_p[:, None, :], row_k[None, :, :], aug)
-        aug = jnp.where(sel_k[:, None, :], row_p[None, :, :], aug)
-        # eliminate strictly below row k
-        inv_piv = 1.0 / aug[k, k]
-        factor = jnp.where(row_ids > k, aug[:, k, :] * inv_piv[None, :], 0.0)
-        aug = aug - factor[:, None, :] * aug[k][None, :, :]
+        inv_piv = 1.0 / row_p[k]
+        factor = jnp.where(
+            eliminated | sel_p, 0.0, aug[:, k, :] * inv_piv[None, :]
+        )
+        aug = aug - factor[:, None, :] * row_p[None, :, :]
+        eliminated = eliminated | sel_p
+        prows.append(row_p)
+    # back substitution on the saved pivot rows (upper-triangular in the
+    # elimination order: prows[i] has zeros in columns < i)
     x = [None] * m
     for i in reversed(range(m)):
-        s = aug[i, m:]
+        s = prows[i][m:]
         for j in range(i + 1, m):
-            s = s - aug[i, j][None, :] * x[j]
-        x[i] = s / aug[i, i][None, :]
+            s = s - prows[i][j][None, :] * x[j]
+        x[i] = s / prows[i][i][None, :]
     return jnp.stack(x, axis=0)                        # [m, r, TB]
 
 
@@ -429,11 +436,31 @@ def _rt_bwd_chunk_kernel(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
     xcar[...] = x_last
 
 
+def _chunk_floats(lc: int, n: int, m: int) -> int:
+    """Per-lane f32 working set of one streamed chunk (fwd kernel)."""
+    return (
+        (lc + 1) * (2 * n * n + n) + lc * (2 * m + m * m + m) + n * n
+        + (m * m + m) + (2 * n * n + n)
+    )
+
+
 def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
-                              layer_chunk=8):
+                              layer_chunk=None):
     nlyr, n, _, b = gp.shape
     m = 2 * n
     dtype = gp.dtype
+
+    if layer_chunk is None:
+        # autotune: the largest chunk that still allows a >= 256-lane tile
+        # fills VMEM instead of the round-2 hardcoded 8 (bigger chunks
+        # amortize the grid-step carry and the one-layer halo re-reads)
+        layer_chunk = 8
+        for lc_try in (64, 48, 32, 24, 16, 12):
+            if lc_try <= nlyr and _tile_for_vmem(
+                2 * _chunk_floats(lc_try, n, m), 256
+            ) >= 256:
+                layer_chunk = lc_try
+                break
 
     # pad layers to a chunk multiple with decoupled identity layers
     # (gp = 0, gm = I, ee = 0, rhs = 0): their W is zero, so the padded
@@ -458,9 +485,7 @@ def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
     ee_h = jnp.concatenate([ee, jnp.zeros((1, n, b), dtype)], axis=0)
 
     # lane tile from the CHUNK working set
-    floats = (lc + 1) * (2 * n * n + n) + lc * (2 * m + m * m + m) + n * n \
-        + (m * m + m) + (2 * n * n + n)
-    tb = _tile_for_vmem(2 * floats, min(tile_b, max(128, b)))
+    tb = _tile_for_vmem(2 * _chunk_floats(lc, n, m), min(tile_b, max(128, b)))
     if tb == 0:
         raise ValueError("streamed block_thomas_rt: chunk too large for VMEM")
     pad = (-b) % tb

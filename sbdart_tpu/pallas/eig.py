@@ -152,6 +152,9 @@ def _leigh_inline(a, sweeps: int):
             s = t * c
             crow = _static_gather_rows(c, pair_of)             # [n, TB]
             srow = _scale_rows(_static_gather_rows(s, pair_of), sgn)
+            # whole-matrix rotation passes: measured FASTER than unrolled
+            # per-row fused multiply-adds (55 vs 65 ms at n=8, B=400k) —
+            # Mosaic schedules the big uniform ops better than 8 small ones
             a_prm = _static_gather_rows(a, partner)            # rows permuted
             a = crow[:, None, :] * a + srow[:, None, :] * a_prm
             a_cprm = _static_gather_cols(a, partner)
@@ -223,20 +226,24 @@ def _eig_chain_inline(cppl, cpml, mu, w, sweeps):
     mu/w arrive as numpy arrays and are folded in as python-float scalars
     (see the note above _scale_rows).
     """
-    n = cppl.shape[0]
     eye = _identity_like(cppl)
     inv_mu = [1.0 / float(m) for m in mu]
     wf = [float(x) for x in w]
     amb = _scale_rows(eye - _scale_cols(cppl + cpml, wf), inv_mu)
     apb = _scale_rows(eye - _scale_cols(cppl - cpml, wf), inv_mu)
+    return _eig_chain_core(amb, apb, eye, mu, w, sweeps)
 
+
+def _eig_chain_core(amb, apb, eye, mu, w, sweeps):
+    """SOLEIG chain given the assembled (alpha -+ beta) operators."""
+    n = amb.shape[0]
     p = np.sqrt(np.asarray(mu) * np.asarray(w))
     s_minus = _scale_cols(_scale_rows(amb, p), 1.0 / p)
     s_plus = _scale_cols(_scale_rows(apb, p), 1.0 / p)
     s_minus = 0.5 * (s_minus + jnp.swapaxes(s_minus, 0, 1))
     s_plus = 0.5 * (s_plus + jnp.swapaxes(s_plus, 0, 1))
 
-    eps = jnp.finfo(cppl.dtype).eps
+    eps = jnp.finfo(amb.dtype).eps
     trace = jnp.sum(s_minus * eye, axis=(0, 1))
     s_minus = s_minus + (8.0 * eps / n) * trace * eye
     l = _chol_inline(s_minus)
@@ -264,6 +271,46 @@ def _kernel(mu, w, sweeps, cpp_ref, cpm_ref, kk_ref, gp_ref, gm_ref):
     kk_ref[...] = kk
     gp_ref[...] = gp
     gm_ref[...] = gm
+
+
+def _kernel_beam(mu, w, sweeps, cpp_ref, cpm_ref, r1_ref, r2_ref, mu0_ref,
+                 kk_ref, gp_ref, gm_ref, zp_ref, zm_ref):
+    """Eig chain + the UPBEAM-equivalent reduced beam solve, fused.
+
+    The beam particular solution reuses amb/apb (already in VMEM from the
+    eig chain), so fusing it here removes an entire XLA stage that
+    recomputed them from cpp/cpm through HBM (solver/sources.py
+    beam_particular — 50 ms of the nstr=16 flux solve).  Same algebra:
+
+        [(a+b)(a-b) - I/mu0^2] S = (a+b) r1 - r2/mu0
+        D = (r1 - (a-b) S) mu0 ;  Z+- = (S +- D)/2
+    """
+    from sbdart_tpu.pallas.blocktri import _solve_step
+
+    cppl = cpp_ref[...]
+    cpml = cpm_ref[...]
+    n = cppl.shape[0]
+    eye = _identity_like(cppl)
+    inv_mu = [1.0 / float(m) for m in mu]
+    wf = [float(x) for x in w]
+    amb = _scale_rows(eye - _scale_cols(cppl + cpml, wf), inv_mu)
+    apb = _scale_rows(eye - _scale_cols(cppl - cpml, wf), inv_mu)
+
+    kk, gp, gm = _eig_chain_core(amb, apb, eye, mu, w, sweeps)
+    kk_ref[...] = kk
+    gp_ref[...] = gp
+    gm_ref[...] = gm
+
+    r1 = r1_ref[...]                      # [N, TB]
+    r2 = r2_ref[...]
+    mu0 = mu0_ref[...][0]                 # [TB]
+    inv_mu0 = 1.0 / mu0
+    mat = _mm(apb, amb) - eye * (inv_mu0 * inv_mu0)[None, None, :]
+    rhs = jnp.sum(apb * r1[None, :, :], axis=1) - r2 * inv_mu0[None, :]
+    s = _solve_step(mat, rhs[:, None, :])[:, 0]
+    d = (r1 - jnp.sum(amb * s[None, :, :], axis=1)) * mu0[None, :]
+    zp_ref[...] = 0.5 * (s + d)
+    zm_ref[...] = 0.5 * (s - d)
 
 
 def _tile_for_vmem(floats_per_lane: int, tile_b: int) -> int:
@@ -323,19 +370,106 @@ def _eig_lane_call(cppl, cpml, *, mu_t, w_t, sweeps, tile_b, interpret):
     return kk, gp, gm
 
 
+# Default Jacobi sweep count: measured on physics matrices at n=8 (incl.
+# near-conservative ssalb up to 1 - 1e-6): eigenvalue error and residual hit
+# the f32 floor by sweep 3 and are bit-stable from sweep 4 on; 6 keeps a 2x
+# margin while halving the round-2 kernel's 10-sweep cost.
+DEFAULT_SWEEPS = 6
+
+
 def eig_chain_lane_fused(
     cppl: jnp.ndarray,     # [N, N, B] same-hemisphere scatter matrix (lane)
     cpml: jnp.ndarray,     # [N, N, B] cross-hemisphere
     mu: np.ndarray,        # [N] quadrature cosines (static)
     w: np.ndarray,         # [N] weights (static)
     *,
-    sweeps: int = 10,
-    tile_b: int = 2048,
+    sweeps: int = DEFAULT_SWEEPS,
+    tile_b: int | None = None,
     interpret: bool = False,
 ):
-    """(kk [N, B], gp [N, N, B], gm [N, N, B]) — fused SOLEIG chain."""
+    """(kk [N, B], gp [N, N, B], gm [N, N, B]) — fused SOLEIG chain.
+
+    Default tile: measured optima — n >= 4 runs ~1.3x faster at 256-lane
+    tiles (rotation working set register-resident), the tiny n = 2 chain
+    prefers big tiles (amortized grid overhead).
+    """
+    if tile_b is None:
+        tile_b = 2048 if cppl.shape[0] <= 2 else 256
     return _eig_lane_call(
         cppl, cpml,
+        mu_t=tuple(float(x) for x in np.asarray(mu)),
+        w_t=tuple(float(x) for x in np.asarray(w)),
+        sweeps=sweeps, tile_b=tile_b, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu_t", "w_t", "sweeps", "tile_b", "interpret")
+)
+def _eig_beam_call(cppl, cpml, r1, r2, mu0, *, mu_t, w_t, sweeps, tile_b,
+                   interpret):
+    n = cppl.shape[0]
+    b = cppl.shape[-1]
+    dtype = cppl.dtype
+    mu = np.asarray(mu_t, np.float64)
+    w = np.asarray(w_t, np.float64)
+
+    floats = 16 * n * n + 10 * n
+    tb = _tile_for_vmem(floats, min(tile_b, max(128, b)))
+    if tb == 0:
+        raise ValueError(f"eig+beam kernel working set too large (n={n})")
+    pad = (-b) % tb
+    if pad:
+        cppl = jnp.pad(cppl, [(0, 0), (0, 0), (0, pad)])
+        cpml = jnp.pad(cpml, [(0, 0), (0, 0), (0, pad)])
+        r1 = jnp.pad(r1, [(0, 0), (0, pad)])
+        r2 = jnp.pad(r2, [(0, 0), (0, pad)])
+        mu0 = jnp.pad(mu0, [(0, 0), (0, pad)], constant_values=0.5)
+    b_pad = b + pad
+    grid = (b_pad // tb,)
+
+    mat_spec = pl.BlockSpec(
+        (n, n, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec((n, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mu0_spec = pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        kk, gp, gm, zp, zm = pl.pallas_call(
+            functools.partial(_kernel_beam, mu, w, sweeps),
+            grid=grid,
+            in_specs=[mat_spec, mat_spec, vec_spec, vec_spec, mu0_spec],
+            out_specs=[vec_spec, mat_spec, mat_spec, vec_spec, vec_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, b_pad), dtype),
+                jax.ShapeDtypeStruct((n, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((n, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((n, b_pad), dtype),
+                jax.ShapeDtypeStruct((n, b_pad), dtype),
+            ],
+            interpret=interpret,
+        )(cppl, cpml, r1, r2, mu0)
+    if pad:
+        kk, gp, gm = kk[..., :b], gp[..., :b], gm[..., :b]
+        zp, zm = zp[..., :b], zm[..., :b]
+    return kk, gp, gm, zp, zm
+
+
+def eig_beam_chain_lane_fused(
+    cppl, cpml,            # [N, N, B]
+    r1, r2,                # [N, B] reduced beam RHS (see solver/sources.py)
+    mu0,                   # [1, B] beam cosine (dithered where no beam)
+    mu, w,                 # [N] static quadrature
+    *,
+    sweeps: int = DEFAULT_SWEEPS,
+    tile_b: int | None = None,   # see eig_chain_lane_fused
+    interpret: bool = False,
+):
+    """(kk, gp, gm, zp [N, B], zm [N, B]) — eig chain + beam solve fused."""
+    if tile_b is None:
+        tile_b = 2048 if cppl.shape[0] <= 2 else 256
+    return _eig_beam_call(
+        cppl, cpml, r1, r2, mu0,
         mu_t=tuple(float(x) for x in np.asarray(mu)),
         w_t=tuple(float(x) for x in np.asarray(w)),
         sweeps=sweeps, tile_b=tile_b, interpret=interpret,

@@ -97,6 +97,40 @@ def solve_rte(
     pmom = jnp.broadcast_to(pmom, batch + pmom.shape[-2:])
 
     nmode = 1 if onlyfl else nstr
+
+    # ---- lane-resident flux fast path (TPU) -------------------------------
+    # The whole flux solve in one layout with two fused Pallas kernels and
+    # no batch-major round-trips of the per-layer matrices (solver/
+    # fluxlane.py).  Same math as the generic path below; equivalence is
+    # pinned by tests/test_pallas_kernels.py::test_fluxlane_*.
+    import jax as _jax
+
+    n_half2 = nstr // 2
+    lane_ok = (
+        onlyfl and brdf is None
+        and n_half2 <= 8 and n_half2 % 2 == 0
+        and jnp.dtype(dtype) == jnp.float32
+    )
+    if lane_ok and (
+        (eig_method == "auto" and _jax.default_backend() == "tpu")
+        or eig_method in ("fused", "fused_interpret")
+    ):
+        from sbdart_tpu.solver.fluxlane import solve_rte_flux_lane
+
+        if planck:
+            assert temper is not None, "planck=True requires temper"
+            temper = jnp.broadcast_to(
+                jnp.asarray(temper, dtype), batch + (nlyr + 1,)
+            )
+        return solve_rte_flux_lane(
+            dtauc, ssalb_in, pmom,
+            nstr=nstr, fbeam=fbeam, umu0=umu0, fisot=fisot, albedo=albedo,
+            planck=planck, temper=temper, wvnlo=wvnlo, wvnhi=wvnhi,
+            btemp=btemp, ttemp=ttemp, temis=temis,
+            deltam=deltam, dtype=dtype,
+            interpret=(eig_method == "fused_interpret"),
+        )
+
     tab = angular_tables(nstr, nmode)
 
     # --- optical property scaling (SETDIS equivalent) ----------------------
@@ -112,10 +146,34 @@ def solve_rte(
     expbea_u = jnp.where(has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0)
 
     # --- homogeneous + particular solutions --------------------------------
-    eig = solve_eigen(dm.ssalb, dm.gl, tab, dtype, eig_method=eig_method)
-    beam = beam_particular(
-        eig.cpp, eig.cpm, dm.ssalb, dm.gl, fbeam, mu0, tab, dtype
+    # Flux path on TPU: ONE fused Pallas kernel does the eig chain AND the
+    # beam particular solve, with the scattering matrices built directly in
+    # lane layout on the MXU (solver/eig.py:solve_eigen_beam_fused) — the
+    # dominant cost of the round-2 implementation was exactly these stages
+    # round-tripping HBM.
+    import jax as _jax
+
+    n_half = nstr // 2
+    fused_shape_ok = (
+        nmode == 1 and n_half <= 8 and n_half % 2 == 0
+        and jnp.dtype(dtype) == jnp.float32
     )
+    use_fused = fused_shape_ok and (
+        (eig_method == "auto" and _jax.default_backend() == "tpu")
+        or eig_method in ("fused", "fused_interpret")
+    )
+    if use_fused:
+        from sbdart_tpu.solver.eig import solve_eigen_beam_fused
+
+        eig, beam = solve_eigen_beam_fused(
+            dm.ssalb, dm.gl, fbeam, mu0, tab, dtype, need_cppcpm=planck,
+            interpret=(eig_method == "fused_interpret"),
+        )
+    else:
+        eig = solve_eigen(dm.ssalb, dm.gl, tab, dtype, eig_method=eig_method)
+        beam = beam_particular(
+            eig.cpp, eig.cpm, dm.ssalb, dm.gl, fbeam, mu0, tab, dtype
+        )
 
     thermal = None
     b_level = None

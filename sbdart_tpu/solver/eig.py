@@ -164,6 +164,113 @@ def solve_eigen(
     return EigResult(kk, gp, gm, cpp, cpm)
 
 
+def scattering_matrices_lane_mode0(ssalb, gl, tab: AngularTables, dtype):
+    """cppl/cpml [N, N, B] + c_lane [nstr, B] DIRECTLY in lane layout.
+
+    For the flux path (azimuth mode 0 only) the folded scattering matrices
+    are a contraction over the moment index l:
+        C^pp_ij = sum_l c_l Y_l(mu_i) Y_l(mu_j)
+    which in lane layout is ONE [N^2, nstr] @ [nstr, B] matmul on the MXU —
+    replacing the batch-major einsum + the [N, N, B] relayout that together
+    cost ~55 ms at the (nstr=16, 65-layer, 6144-column) bench shape.  Only
+    the [nstr, B] coefficient array is relayouted (16x smaller).
+    """
+    n = tab.mu.shape[0]
+    nstr = tab.ylm.shape[1]
+    twol1 = jnp.asarray(tab.twol1, dtype)
+    c = 0.5 * ssalb[..., None] * twol1 * gl        # [..., L, nstr]
+    c_lane, batch_shape = lane.to_lane(c, 1)       # [nstr, B]
+    ylm0 = np.asarray(tab.ylm[0], np.float64)      # [nstr, N]
+    par0 = np.asarray(tab.parity[0], np.float64)   # [nstr]
+    a_pp = (ylm0[:, :, None] * ylm0[:, None, :]).reshape(nstr, n * n)
+    a_pm = a_pp * par0[:, None]
+    cppl = jnp.einsum(
+        "lk,lB->kB", jnp.asarray(a_pp, dtype), c_lane
+    ).reshape(n, n, c_lane.shape[-1])
+    cpml = jnp.einsum(
+        "lk,lB->kB", jnp.asarray(a_pm, dtype), c_lane
+    ).reshape(n, n, c_lane.shape[-1])
+    return cppl, cpml, c_lane, batch_shape
+
+
+def solve_eigen_beam_fused(
+    ssalb: jnp.ndarray,      # [..., L] delta-M scaled
+    gl: jnp.ndarray,         # [..., L, nstr]
+    fbeam: jnp.ndarray,      # [...]
+    umu0: jnp.ndarray,       # [...]
+    tab: AngularTables,
+    dtype,
+    *,
+    need_cppcpm: bool = False,
+    interpret: bool = False,
+):
+    """Fused flux-path front end: scattering (MXU, lane) -> one Pallas
+    kernel for the eig chain + UPBEAM-equivalent beam solve.
+
+    Returns (EigResult, BeamSource); EigResult.cpp/.cpm are materialized
+    (extra relayout) only when need_cppcpm (the thermal path wants them).
+    Requires nmode == 1 (tab built for flux mode) and even N <= 8.
+    """
+    from sbdart_tpu.pallas.eig import eig_beam_chain_lane_fused
+    from sbdart_tpu.solver.sources import BeamSource, _ylm_at
+
+    n = tab.mu.shape[0]
+    nmode = tab.ylm.shape[0]
+    assert nmode == 1, "fused path is flux-mode (nmode=1) only"
+    nlyr = gl.shape[-2]
+    cppl, cpml, c_lane, batch_shape = scattering_matrices_lane_mode0(
+        ssalb, gl, tab, dtype
+    )
+
+    # ---- beam RHS in lane space ------------------------------------------
+    has_beam = fbeam > 0.0
+    mu0 = jnp.where(has_beam, jnp.abs(umu0), 0.5)
+    bshape = mu0.shape
+    mu0_l = jnp.broadcast_to(
+        mu0[..., None], bshape + (nlyr,)
+    ).reshape(1, -1).astype(dtype)                        # [1, B]
+    scale = (
+        jnp.where(has_beam, fbeam, 0.0) / (2.0 * jnp.pi)  # mfac(m=0) = 1
+    )
+    scale_l = jnp.broadcast_to(
+        scale[..., None], bshape + (nlyr,)
+    ).reshape(-1).astype(dtype)                           # [B]
+
+    ylm0 = _ylm_at(mu0, 1, tab.ylm.shape[1], dtype)       # [..., 1, nstr]
+    par0 = jnp.asarray(tab.parity[0], dtype)
+    y0d = (ylm0[..., 0, :] * par0)                        # Lam_l(-mu0) [..., nstr]
+    y0d_l = jnp.broadcast_to(
+        y0d[..., None, :], bshape + (nlyr, tab.ylm.shape[1])
+    )
+    y0d_lane = lane.to_lane(y0d_l, 1)[0]                  # [nstr, B]
+    prod = c_lane * y0d_lane
+    ylm_mat = jnp.asarray(tab.ylm[0].T, dtype)            # [N, nstr]
+    x0p = (ylm_mat @ prod) * scale_l[None, :]             # [N, B]
+    x0m = ((ylm_mat * par0[None, :]) @ prod) * scale_l[None, :]
+    inv_mu_col = jnp.asarray(1.0 / tab.mu, dtype)[:, None]
+    r1 = (x0p + x0m) * inv_mu_col
+    r2 = (x0p - x0m) * inv_mu_col
+
+    kk_l, gp_l, gm_l, zp_l, zm_l = eig_beam_chain_lane_fused(
+        cppl, cpml, r1, r2, mu0_l, tab.mu, tab.w, interpret=interpret
+    )
+    # unflatten with the (size-1) mode axis the solver convention carries
+    batch_shape = ssalb.shape[:-1] + (1, nlyr)
+    kk = lane.from_lane(kk_l, batch_shape)
+    gp = lane.from_lane(gp_l, batch_shape)
+    gm = lane.from_lane(gm_l, batch_shape)
+    zp = lane.from_lane(zp_l, batch_shape)
+    zm = lane.from_lane(zm_l, batch_shape)
+    cpp = cpm = None
+    if need_cppcpm:
+        cpp = lane.from_lane(cppl, batch_shape)
+        cpm = lane.from_lane(cpml, batch_shape)
+    return (
+        EigResult(kk, gp, gm, cpp, cpm),
+        BeamSource(zp, zm),
+    )
+
+
 def _eigen_chain_lane(cpp, cpm, mu, w, dtype):
     """The SOLEIG chain in lane layout (matrix dims leading, batch minor).
 
