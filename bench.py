@@ -183,11 +183,45 @@ def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
     return 100.0 * (flops / t / 1e12) / VPU_F32_TFLOPS
 
 
+def _radiance_throughput(nstr=16, nlyr=65, nbc=256, K=3) -> float:
+    """Full radiance solves (all Fourier modes + TMS/IMS) — the BASELINE
+    config-4 shape: band-columns/s with a 5-zenith x 3-azimuth view grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from sbdart_tpu.solver.disort import solve_rte
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.float32
+    dtau = jnp.asarray(rng.uniform(0.001, 0.6, (nbc, nlyr)), dtype)
+    ssalb = jnp.asarray(rng.uniform(0.05, 0.999, (nbc, nlyr)), dtype)
+    g = rng.uniform(0.0, 0.85, (nbc, nlyr))
+    pmom = jnp.asarray(g[..., None] ** np.arange(65), dtype)
+    fbeam = jnp.ones((nbc,), dtype)
+    umu0 = jnp.asarray(rng.uniform(0.2, 1.0, (nbc,)), dtype)
+    albedo = jnp.asarray(rng.uniform(0.0, 0.8, (nbc,)), dtype)
+    umu = np.array([0.2, 0.5, 0.9, -0.3, -0.8])
+    phi = np.array([0.0, 90.0, 180.0])
+
+    @jax.jit
+    def run(dtau, ssalb, pmom):
+        o = solve_rte(dtau, ssalb, pmom, nstr=nstr, fbeam=fbeam, umu0=umu0,
+                      albedo=albedo, onlyfl=False, umu=umu, phi=phi,
+                      dtype=dtype)
+        return o.uu
+
+    out = run(dtau, ssalb, pmom)
+    assert np.isfinite(np.asarray(out)).all()
+    t = _timeit(run, dtau, ssalb, pmom, n=K)
+    return nbc / t
+
+
 def main() -> None:
     import os
 
     rate4 = _throughput(nstr=4, nlyr=33, nbc=16384)
     rate16 = _throughput(nstr=16, nlyr=65, nbc=2048)
+    rate_rad = _radiance_throughput()
     sol_bvp = _bvp_fused_sol()
     sol_eig = _eig_lane_sol()
 
@@ -210,6 +244,7 @@ def main() -> None:
             "baseline_note": "denominator 2000/s is the builder's own "
                              "estimate of serial Fortran (no published refs)",
             "nstr16_nlyr65_bc_per_s": round(rate16, 1),
+            "nstr16_radiance_bc_per_s": round(rate_rad, 1),
             "bvp_fused_sol_pct": None if sol_bvp != sol_bvp else round(sol_bvp, 1),
             "eig_lane_sol_pct": None if sol_eig != sol_eig else round(sol_eig, 1),
             "weak_scaling_efficiency_cpu_mesh": ws_eff,

@@ -490,7 +490,7 @@ def _ims_correction(
     # pspike[..., v, U, P] = sum_K gfac_K (2K+1) P_K(cosang)
     pspike = jnp.einsum("...vl,l...up->...vup", gfac * twol1_full, pl)
 
-    umu0p = mu0 / (1.0 - fw)                             # [..., L+1]
+    umu0p = mu0[..., None] / (1.0 - fw)                  # [..., L+1]
     dn = umu_j < 0
     u1 = jnp.where(dn, -umu_j, 1.0)                      # [U]
     xi = xi_function(

@@ -266,3 +266,43 @@ class TestSelfConvergence:
             vals.append(float(out.flup[0]))
         assert abs(vals[2] - vals[1]) < abs(vals[1] - vals[0])
         assert abs(vals[2] - vals[1]) < 2e-4 * abs(vals[2])
+
+
+def test_batched_radiances_match_loop():
+    """Radiance path with a leading BATCH axis == per-column solves.
+
+    Regression: _ims_correction dropped the batch axis of mu0 (broadcast
+    error for any batched radiance run — BASELINE config 4 shape); the
+    batchless tests never caught it.
+    """
+    import jax.numpy as jnp
+
+    from sbdart_tpu.solver.disort import solve_rte
+
+    nstr, nlyr, nb = 8, 5, 3
+    rng = np.random.default_rng(4)
+    dtau = rng.uniform(0.05, 0.5, (nb, nlyr))
+    ssalb = rng.uniform(0.3, 0.95, (nb, nlyr))
+    g = rng.uniform(0.2, 0.8, (nb, nlyr))
+    pmom = g[..., None] ** np.arange(25)
+    umu0 = rng.uniform(0.3, 0.9, nb)
+    alb = rng.uniform(0.0, 0.5, nb)
+    umu = np.array([0.4, -0.6])
+    phi = np.array([0.0, 120.0])
+
+    kw = dict(nstr=nstr, onlyfl=False, umu=umu, phi=phi, dtype=jnp.float64)
+    batched = solve_rte(
+        jnp.asarray(dtau), jnp.asarray(ssalb), jnp.asarray(pmom),
+        fbeam=jnp.ones(nb), umu0=jnp.asarray(umu0), albedo=jnp.asarray(alb),
+        **kw,
+    )
+    for i in range(nb):
+        single = solve_rte(
+            jnp.asarray(dtau[i]), jnp.asarray(ssalb[i]),
+            jnp.asarray(pmom[i]), fbeam=1.0, umu0=float(umu0[i]),
+            albedo=float(alb[i]), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.uu[i]), np.asarray(single.uu),
+            rtol=1e-10, atol=1e-12,
+        )
