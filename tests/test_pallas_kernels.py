@@ -290,11 +290,14 @@ def test_fused_eig_beam_matches_lane(nstr, planck):
     """solve_rte with the fused eig+beam kernel == the lane path (interpret).
 
     Covers solar-only and thermal (the fused path materializes cpp/cpm
-    lazily for the thermal particular solve).
+    lazily for the thermal particular solve).  Sizes are kept small: the
+    Pallas interpreter is ~10^3x slower than compiled and this check is
+    about MATH equivalence, which 6 layers x 16 columns already pins; the
+    compiled TPU-gated sibling runs the production shapes.
     """
     from sbdart_tpu.solver.disort import solve_rte
 
-    args, kw = _fused_flux_problem(nstr, 9, 37, planck)
+    args, kw = _fused_flux_problem(nstr, 6, 16, planck)
     o_f = solve_rte(*args, eig_method="fused_interpret", **kw)
     o_l = solve_rte(*args, eig_method="lane", **kw)
     for nm in ("rfldn", "flup", "uavg", "dfdt"):
