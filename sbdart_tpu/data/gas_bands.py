@@ -36,6 +36,11 @@ import numpy as np
 #   S_band: mean line-strength/spacing at band center per absorber unit
 #   beta0:  Malkmus line-overlap parameter at 1013 mb
 # Wing shape: S(lam) = S_band * exp(-|lam-center|/halfwidth * 3)
+#
+# NOTE (round 3): the H2O/CO2/O3/O2/CH4/N2O entries below are SUPERSEDED in
+# production by the 20 cm^-1 tables of data/gas_bands20.py (gas.py routes
+# the major gases there); they are retained as the round-2 calibration
+# record and for the minor-gas code path, which still reads this table.
 
 # SW strengths/overlap CALIBRATED 2026-08-20 against the Lacis & Hansen
 # (1974, JAS 31, 118) water-vapor absorption parametrization
