@@ -268,7 +268,10 @@ def leigh(a: jnp.ndarray, sweeps: int = 6) -> tuple[jnp.ndarray, jnp.ndarray]:
     Default sweeps: measured on the solver's physics matrices at n = 8
     (incl. near-conservative layers) — eigenvalue error and eigenpair
     residual reach the f32 floor by sweep 3 and are bit-stable from 4;
-    6 keeps a 2x margin (see pallas/eig.py:DEFAULT_SWEEPS).
+    6 keeps a 2x margin (see pallas/eig.py:DEFAULT_SWEEPS).  Re-measured
+    at n = 16 (nstr = 32, the largest lane-path size): relerr ~1.5e-6,
+    residual ~4e-6 at 6 sweeps — pinned by
+    tests/test_foundations.py::test_leigh_convergence_n16.
     """
     n = a.shape[0]
     if n == 1:

@@ -102,8 +102,16 @@ def solve_rte(
     # The whole flux solve in one layout with two fused Pallas kernels and
     # no batch-major round-trips of the per-layer matrices (solver/
     # fluxlane.py).  Same math as the generic path below; equivalence is
-    # pinned by tests/test_pallas_kernels.py::test_fluxlane_*.
+    # pinned by tests/test_pallas_kernels.py::test_fused_eig_beam_*.
     import jax as _jax
+
+    if eig_method == "fused" and _jax.default_backend() != "tpu":
+        raise ValueError(
+            "eig_method='fused' dispatches a Mosaic-compiled Pallas kernel "
+            "that only lowers on TPU (current backend: "
+            f"{_jax.default_backend()!r}).  Use eig_method='fused_interpret' "
+            "for the interpreter, or 'auto'/'lane'/'xla' off-TPU."
+        )
 
     n_half2 = nstr // 2
     lane_ok = (

@@ -12,7 +12,9 @@ and batch-major conversion only for the tiny [.., L+1] outputs.
 Engaged from solve_rte for: onlyfl, nmode == 1, f32, Lambertian surface,
 N = nstr/2 even and <= 8, on TPU (or interpret for tests).  Everything
 else falls back to the generic path; results match it to the f32
-conditioning floor (tests/test_pallas_kernels.py::test_fluxlane_*).
+conditioning floor (tests/test_pallas_kernels.py::test_fused_eig_beam_
+matches_lane and ::test_fused_eig_beam_compiled_on_tpu, which run
+solve_rte with eig_method='fused*' — the dispatch that lands here).
 
 Reference map: this is the DISORT call chain (SOLEIG+UPBEAM+UPISOT+SETMTX+
 SOLVE0+FLUXES — disort.f, SURVEY.md section 3.2) re-expressed as two fused

@@ -124,6 +124,29 @@ class TestBatchedLinalg:
             wv = np.asarray(v) * np.asarray(w)[:, None, :]
             np.testing.assert_allclose(av, wv, atol=1e-9)
 
+    def test_leigh_convergence_n16(self):
+        """lane.leigh default sweep count covers the LARGEST lane-path size
+        n=16 (nstr=32), not just the n=8 it was tuned on (round-3 advisor):
+        f32 eigenvalue relerr and eigenpair residual stay at the f32 floor."""
+        import jax.numpy as jnp
+
+        from sbdart_tpu.ops import lane
+
+        rng = np.random.default_rng(7)
+        n, b = 16, 32
+        a = rng.standard_normal((n, n, b)).astype(np.float32)
+        a = (a + a.transpose(1, 0, 2)) / 2
+        w, v = lane.leigh(jnp.asarray(a))          # default sweeps
+        w = np.asarray(w)
+        v = np.asarray(v)
+        w_np = np.linalg.eigvalsh(a.transpose(2, 0, 1))   # [b, n] ascending
+        relerr = np.abs(w.T - w_np).max() / np.abs(w_np).max()
+        assert relerr < 1e-5, relerr
+        av = np.einsum("ijB,jkB->ikB", a, v)
+        vw = v * w[None, :, :]
+        resid = np.abs(av - vw).max() / np.abs(w).max()
+        assert resid < 3e-5, resid
+
     def test_gauss_solve_matches_numpy(self):
         rng = np.random.default_rng(1)
         for n in [1, 2, 4, 8, 16]:

@@ -107,3 +107,30 @@ class TestCli:
         assert len(vals) == 8
         assert vals[0] == 0.55            # wavelength
         assert vals[2] > 0                # topdn
+
+    def test_cli_survives_unknown_platform_name(self, tmp_path):
+        """A plugin backend alias that jax.config rejects (e.g. the axon
+        PJRT plugin's name under this harness) must not crash the entry
+        point: cli._init_backend falls back to automatic selection.  Uses a
+        nonexistent platform name so the failure path runs everywhere."""
+        inp = tmp_path / "INPUT"
+        inp.write_text(CANONICAL)
+        import os
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "sbdart_tpu.cli", str(inp)],
+            capture_output=True, text=True, timeout=560,
+            env={
+                **os.environ,
+                "JAX_PLATFORMS": "definitely_not_a_backend",
+                "PYTHONPATH": os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+            },
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        data = [
+            l for l in proc.stdout.splitlines() if l.strip()
+            and not l.startswith('"')
+        ]
+        assert len(data) == 1 and float(data[0].split()[2]) > 0

@@ -307,6 +307,41 @@ def test_fused_eig_beam_matches_lane(nstr, planck):
         assert err < 5e-4, (nm, err)
 
 
+def test_fused_eig_beam_matches_lane_brdf():
+    """The GENERIC-path fused branch (disort.py solve_eigen_beam_fused) is
+    only reachable for non-Lambertian flux runs — the fluxlane fast path
+    intercepts every Lambertian one — so pin it with a Hapke BRDF case
+    (round-3 advisor: this combination had no coverage)."""
+    from sbdart_tpu.solver.brdf import HapkeBrdf
+    from sbdart_tpu.solver.disort import solve_rte
+
+    args, kw = _fused_flux_problem(4, 6, 16, planck=False)
+    kw.pop("albedo")
+    brdf = HapkeBrdf(b0=1.0, hh=0.06, w=0.6)
+    o_f = solve_rte(*args, albedo=0.0, brdf=brdf,
+                    eig_method="fused_interpret", **kw)
+    o_l = solve_rte(*args, albedo=0.0, brdf=brdf, eig_method="lane", **kw)
+    for nm in ("rfldn", "flup", "uavg"):
+        a = np.asarray(getattr(o_f, nm))
+        bb = np.asarray(getattr(o_l, nm))
+        err = np.abs(a - bb).max() / max(np.abs(bb).max(), 1e-9)
+        assert err < 5e-4, (nm, err)
+
+
+def test_fused_requires_tpu_clear_error():
+    """eig_method='fused' off-TPU must raise a clear ValueError, not an
+    obscure Mosaic lowering failure (round-3 advisor)."""
+    import jax
+
+    from sbdart_tpu.solver.disort import solve_rte
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("only meaningful off-TPU")
+    args, kw = _fused_flux_problem(4, 4, 8, planck=False)
+    with pytest.raises(ValueError, match="fused_interpret"):
+        solve_rte(*args, eig_method="fused", **kw)
+
+
 @pytest.mark.tpu
 @pytest.mark.parametrize("nstr,b", [(4, 1000), (16, 2048)])
 def test_fused_eig_beam_compiled_on_tpu(nstr, b):
