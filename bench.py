@@ -183,9 +183,16 @@ def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
     return 100.0 * (flops / t / 1e12) / VPU_F32_TFLOPS
 
 
-def _radiance_throughput(nstr=16, nlyr=65, nbc=256, K=3) -> float:
+def _radiance_throughput(nstr=16, nlyr=65, nbc=256, K=8) -> float:
     """Full radiance solves (all Fourier modes + TMS/IMS) — the BASELINE
-    config-4 shape: band-columns/s with a 5-zenith x 3-azimuth view grid."""
+    config-4 shape: band-columns/s with a 5-zenith x 3-azimuth view grid.
+
+    K solves are chained inside ONE jit (same methodology as _throughput):
+    each dispatch over the axon tunnel costs ~25 ms of round-trip latency
+    regardless of work, so unchained timing would measure the tunnel, not
+    the chip.  (Rounds 1-3 timed this metric unchained at K=3 — their
+    radiance numbers carry that fixed cost; round-4 and later are chained.)
+    """
     import jax
     import jax.numpy as jnp
 
@@ -204,16 +211,212 @@ def _radiance_throughput(nstr=16, nlyr=65, nbc=256, K=3) -> float:
     phi = np.array([0.0, 90.0, 180.0])
 
     @jax.jit
-    def run(dtau, ssalb, pmom):
-        o = solve_rte(dtau, ssalb, pmom, nstr=nstr, fbeam=fbeam, umu0=umu0,
-                      albedo=albedo, onlyfl=False, umu=umu, phi=phi,
-                      dtype=dtype)
+    def chained(dtau, ssalb, pmom):
+        def body(acc, _):
+            o = solve_rte(dtau * (1.0 + 1e-6 * acc[0, 0, 0]), ssalb, pmom,
+                          nstr=nstr, fbeam=fbeam, umu0=umu0,
+                          albedo=albedo, onlyfl=False, umu=umu, phi=phi,
+                          dtype=dtype)
+            return o.uu[..., 0, :1, :1], ()
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((nbc, 1, 1), dtype), None, length=K
+        )
+        return acc
+
+    out = chained(dtau, ssalb, pmom)
+    assert np.isfinite(np.asarray(out)).all()
+    t = _timeit(chained, dtau, ssalb, pmom, n=3)
+    return nbc * K / t
+
+
+def _parse_custom_call_bytes(long_name: str) -> int:
+    """Exact HBM interface bytes of a custom-call from its HLO signature.
+
+    Results are listed before `custom-call(`, operands inside it; each
+    appears as f32[d0,d1,...].  Every operand is read once and every result
+    written once by a Pallas kernel (no revisits at these working-set
+    sizes), so sum-of-shapes IS the kernel's minimum and actual HBM
+    traffic — no hand model of the algorithm involved.
+    """
+    import re
+
+    total = 0
+    for m in re.finditer(r"(f32|bf16|s32)\[([0-9,]*)\]", long_name):
+        dt, dims = m.groups()
+        sz = 4 if dt in ("f32", "s32") else 2
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * sz
+    return total
+
+
+def _trace_device_ops(fn, args):
+    """Run fn once under jax.profiler and return per-op device stats.
+
+    Returns a list of dicts {name, dur_ms, bytes, source} for TPU device
+    ops, aggregated over occurrences (durations summed).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    import jax
+
+    jax.block_until_ready(fn(*args))  # warm (compile outside the trace)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            jax.block_until_ready(fn(*args))
+        paths = glob.glob(f"{td}/**/*.trace.json.gz", recursive=True)
+        if not paths:
+            return []
+        with gzip.open(sorted(paths)[-1]) as fh:
+            tr = json.load(fh)
+    dev_pids = {
+        e["pid"] for e in tr["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    agg = collections.defaultdict(lambda: {"dur": 0.0, "bytes": 0, "src": ""})
+    for e in tr["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        a = agg[name]
+        a["dur"] += e.get("dur", 0.0) / 1e3        # us -> ms
+        args_d = e.get("args", {})
+        ln = args_d.get("long_name", "")
+        if "custom-call" in str(args_d.get("hlo_category", "")) and ln:
+            a["bytes"] = _parse_custom_call_bytes(ln)
+        a["src"] = args_d.get("source", a["src"])
+    return [
+        {"name": k, "dur_ms": v["dur"], "bytes": v["bytes"],
+         "source": v["src"]}
+        for k, v in agg.items()
+    ]
+
+
+def _measured_rooflines() -> dict | None:
+    """Trace-derived kernel rooflines (BASELINE kernel metric).
+
+    Times are per-op DEVICE durations from a jax.profiler trace; bytes are
+    the kernels' exact HBM interface sizes parsed from their HLO
+    signatures.  Two workloads: the nstr=16 radiance solve (both kernels at
+    the BASELINE config-4 shape, modes in lanes) and the nstr=4 flux-lane
+    primary path (the headline metric's own kernels — unaccounted before
+    round 4).  For the compute-bound eig kernel the FLOP numerator is the
+    documented per-matrix operation count (Cholesky n^3/3 + Jacobi sweeps +
+    solves) — the only modeled quantity left; time and bytes are measured.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sbdart_tpu.pallas.eig import DEFAULT_SWEEPS
+    from sbdart_tpu.solver.disort import solve_rte
+
+    if jax.default_backend() != "tpu":
+        return None
+    device = jax.devices()[0]
+    peak = DEFAULT_HBM_GBS
+    for k, v in HBM_PEAK_GBS.items():
+        if k in str(device).lower():
+            peak = v
+
+    rng = np.random.default_rng(3)
+
+    def flux_args(nstr, nlyr, nbc):
+        dtau = jnp.asarray(rng.uniform(0.001, 0.6, (nbc, nlyr)), jnp.float32)
+        ssalb = jnp.asarray(rng.uniform(0.05, 0.999, (nbc, nlyr)), jnp.float32)
+        g = rng.uniform(0.0, 0.85, (nbc, nlyr))
+        pmom = jnp.asarray(g[..., None] ** np.arange(nstr + 1), jnp.float32)
+        return dtau, ssalb, pmom, nbc
+
+    out = {}
+
+    # --- nstr=4 primary flux path (headline shape) ------------------------
+    dtau, ssalb, pmom, nbc = flux_args(4, 33, 16384)
+    fb = jnp.ones((nbc,), jnp.float32)
+    um = jnp.asarray(rng.uniform(0.2, 1.0, (nbc,)), jnp.float32)
+    al = jnp.asarray(rng.uniform(0.0, 0.8, (nbc,)), jnp.float32)
+
+    @jax.jit
+    def flux4(dtau, ssalb, pmom):
+        o = solve_rte(dtau, ssalb, pmom, nstr=4, fbeam=fb, umu0=um,
+                      albedo=al, onlyfl=True, dtype=jnp.float32)
+        return o.flup
+
+    ops = _trace_device_ops(flux4, (dtau, ssalb, pmom))
+    tot = sum(o["dur_ms"] for o in ops if not o["name"].startswith("jit_"))
+    krn = [o for o in ops if o["bytes"] > 0]
+    eig_ops = [o for o in krn if "eig" in o["source"]]
+    bvp_ops = [o for o in krn if "blocktri" in o["source"]]
+    if eig_ops and bvp_ops:
+        e_ms = sum(o["dur_ms"] for o in eig_ops)
+        e_by = sum(o["bytes"] for o in eig_ops)
+        b_ms = sum(o["dur_ms"] for o in bvp_ops)
+        b_by = sum(o["bytes"] for o in bvp_ops)
+        n = 2
+        nmat = nbc * 33
+        eflops = nmat * (n**3 / 3.0 + 25 * n**3)   # n=2 closed-form chain
+        out["nstr4_path"] = {
+            "device_total_ms": round(tot, 2),
+            "eig_beam_kernel_ms": round(e_ms, 2),
+            "bvp_kernel_ms": round(b_ms, 2),
+            "glue_ms": round(tot - e_ms - b_ms, 2),
+            "eig_kernel_bw_sol_pct": round(
+                100.0 * (e_by / (e_ms / 1e3) / 1e9) / peak, 1),
+            "bvp_kernel_bw_sol_pct": round(
+                100.0 * (b_by / (b_ms / 1e3) / 1e9) / peak, 1),
+        }
+
+    # --- nstr=16 radiance shape (BASELINE config 4, modes in lanes) -------
+    dtau, ssalb, pmom, nbc = flux_args(16, 65, 256)
+    fb = jnp.ones((nbc,), jnp.float32)
+    um = jnp.asarray(rng.uniform(0.2, 1.0, (nbc,)), jnp.float32)
+    al = jnp.asarray(rng.uniform(0.0, 0.8, (nbc,)), jnp.float32)
+    umu = np.array([0.2, 0.5, 0.9, -0.3, -0.8])
+    phiv = np.array([0.0, 90.0, 180.0])
+
+    @jax.jit
+    def rad16(dtau, ssalb, pmom):
+        o = solve_rte(dtau, ssalb, pmom, nstr=16, fbeam=fb, umu0=um,
+                      albedo=al, onlyfl=False, umu=umu, phi=phiv,
+                      dtype=jnp.float32)
         return o.uu
 
-    out = run(dtau, ssalb, pmom)
-    assert np.isfinite(np.asarray(out)).all()
-    t = _timeit(run, dtau, ssalb, pmom, n=K)
-    return nbc / t
+    ops = _trace_device_ops(rad16, (dtau, ssalb, pmom))
+    tot = sum(o["dur_ms"] for o in ops if not o["name"].startswith("jit_"))
+    krn = [o for o in ops if o["bytes"] > 0]
+    eig_ops = [o for o in krn if "eig" in o["source"]]
+    bvp_ops = [o for o in krn if "blocktri" in o["source"]]
+    if eig_ops and bvp_ops:
+        e_ms = sum(o["dur_ms"] for o in eig_ops)
+        e_by = sum(o["bytes"] for o in eig_ops)
+        b_ms = sum(o["dur_ms"] for o in bvp_ops)
+        b_by = sum(o["bytes"] for o in bvp_ops)
+        n = 8
+        nmat = nbc * 16 * 65     # modes x layers in lanes
+        eflops = nmat * (
+            n**3 / 3.0
+            + DEFAULT_SWEEPS * (n - 1) * (3 * 3 * n * n)
+            + n**3 + 4 * n**3 + 2 * n**3
+        )
+        out["rad16_path"] = {
+            "device_total_ms": round(tot, 2),
+            "eig_beam_kernel_ms": round(e_ms, 2),
+            "bvp_kernel_ms": round(b_ms, 2),
+            "glue_ms": round(tot - e_ms - b_ms, 2),
+            "eig_kernel_bw_sol_pct": round(
+                100.0 * (e_by / (e_ms / 1e3) / 1e9) / peak, 1),
+            "eig_kernel_vpu_sol_pct": round(
+                100.0 * (eflops / (e_ms / 1e3) / 1e12) / VPU_F32_TFLOPS, 1),
+            "bvp_kernel_bw_sol_pct": round(
+                100.0 * (b_by / (b_ms / 1e3) / 1e9) / peak, 1),
+        }
+    return out or None
 
 
 def main() -> None:
@@ -224,6 +427,11 @@ def main() -> None:
     rate_rad = _radiance_throughput()
     sol_bvp = _bvp_fused_sol()
     sol_eig = _eig_lane_sol()
+    rooflines = None
+    try:
+        rooflines = _measured_rooflines()
+    except Exception as exc:  # tracing is best-effort; never break the bench
+        rooflines = {"error": str(exc)[:200]}
 
     # weak-scaling efficiency from the committed measurement artifact
     # (benchmarks/weak_scaling.py writes it; BASELINE.md scaling row)
@@ -247,6 +455,7 @@ def main() -> None:
             "nstr16_radiance_bc_per_s": round(rate_rad, 1),
             "bvp_fused_sol_pct": None if sol_bvp != sol_bvp else round(sol_bvp, 1),
             "eig_lane_sol_pct": None if sol_eig != sol_eig else round(sol_eig, 1),
+            "measured_rooflines": rooflines,
             "weak_scaling_efficiency_cpu_mesh": ws_eff,
         },
     }))

@@ -120,6 +120,13 @@ def filter_function(
             user_table = (d[:, 0], d[:, 1])
         return np.interp(wl, user_table[0], user_table[1], left=0.0, right=0.0)
     if cfg.isat in _BUILTIN_FILTERS:
+        # measured-class tabulated curves where available (data/filters.py);
+        # trapezoid-on-published-limits for the rest
+        from sbdart_tpu.data.filters import tabulated_response
+
+        tab = tabulated_response(cfg.isat, wl)
+        if tab is not None:
+            return tab
         lo, hi, _name = _BUILTIN_FILTERS[cfg.isat]
         c = 0.5 * (lo + hi)
         wdt = hi - lo

@@ -139,6 +139,38 @@ def solve_rte(
             interpret=(eig_method == "fused_interpret"),
         )
 
+    # ---- lane-resident radiance fast path (TPU) ---------------------------
+    # All Fourier modes through the fused eig+beam and block-Thomas kernels
+    # in one lane layout, lane-form USRINT source projections, TMS/IMS on
+    # top (solver/radlane.py).  Same math as the generic path below;
+    # equivalence pinned by tests/test_radlane.py.
+    rad_lane_ok = (
+        (not onlyfl) and umu is not None and phi is not None
+        and brdf is None
+        and n_half2 <= 8 and n_half2 % 2 == 0
+        and jnp.dtype(dtype) == jnp.float32
+    )
+    if rad_lane_ok and (
+        (eig_method == "auto" and _jax.default_backend() == "tpu")
+        or eig_method in ("fused", "fused_interpret")
+    ):
+        from sbdart_tpu.solver.radlane import solve_rte_radiance_lane
+
+        if planck:
+            assert temper is not None, "planck=True requires temper"
+            temper = jnp.broadcast_to(
+                jnp.asarray(temper, dtype), batch + (nlyr + 1,)
+            )
+        return solve_rte_radiance_lane(
+            dtauc, ssalb_in, pmom,
+            nstr=nstr, fbeam=fbeam, umu0=umu0, phi0=phi0, fisot=fisot,
+            albedo=albedo,
+            planck=planck, temper=temper, wvnlo=wvnlo, wvnhi=wvnhi,
+            btemp=btemp, ttemp=ttemp, temis=temis,
+            deltam=deltam, umu=umu, phi=phi, corint=corint, dtype=dtype,
+            interpret=(eig_method == "fused_interpret"),
+        )
+
     tab = angular_tables(nstr, nmode)
 
     # --- optical property scaling (SETDIS equivalent) ----------------------

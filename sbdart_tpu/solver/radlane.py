@@ -1,0 +1,531 @@
+"""Lane-resident RADIANCE path: all Fourier modes in one lane layout.
+
+The generic solve_rte radiance path (solver/disort.py + radiance.py) runs
+every stage batch-major and relayouts the big per-(mode, layer) tensors at
+each stage boundary: scattering-matrix einsum -> to_lane for the eig
+kernel -> from_lane -> _to_scan_lane for the BVP kernel -> batch-major ->
+_to_scan_lane again for boundary intensities -> batch-major radiance
+einsums.  At the BASELINE config-4 shape (nstr=16, 65 layers) those
+relayouts + the batch-major einsum fusions cost ~25 ms of a 44 ms solve —
+measured from a jax.profiler device trace (round 4), with the two Pallas
+kernels accounting for only ~19 ms.
+
+This module runs the whole radiance solve in ONE flat lane order: the
+minor (lane) axis is the flattened (mode, layer, column) product for the
+eigensolve+beam kernel and (mode, column) with layers leading for the BVP
+kernel — the reshape between the two moves only leading axes (the lane dim
+stays put), which XLA emits as a near-bandwidth copy.  The radiance
+source-function projections contract the STATIC angular tables first
+(per-mode Legendre x quadrature products), so the only materialized
+intermediate is [M, U, N, L, B] instead of the generic path's
+[M, L, nstr, N] scattering tensor pair.
+
+Engaged from solve_rte for: radiance runs (onlyfl=False, umu given),
+Lambertian surface, f32, N = nstr/2 even and <= 8, all nstr modes, on TPU
+(or interpret for tests).  Everything else falls back to the generic path;
+equivalence is pinned by tests/test_radlane.py (interpret mode vs the
+generic path, plus a TPU-gated compiled case at an unaligned batch).
+
+Reference map: DISORT's per-mode loop (SOLEIG + UPBEAM + SETMTX + SOLVE0 +
+USRINT/CMPINT per m, then the cos(m dphi) Fourier sum — disort.f, SURVEY.md
+section 3.2 steps 3-6) re-expressed as two fused TPU kernels over a
+modes-in-lanes batch plus lane-layout XLA glue.  TMS/IMS single-scatter
+corrections (INTCOR/SECSCA) reuse solver/radiance.py unchanged — they are
+single-scatter (no mode structure) and measured cheap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sbdart_tpu.constants import DTAU_MIN
+from sbdart_tpu.solver.deltam import apply_deltam
+from sbdart_tpu.solver.eig import angular_tables
+from sbdart_tpu.solver.planck import planck_band
+from sbdart_tpu.solver.radiance import (
+    _ims_correction,
+    _int_away,
+    _int_toward,
+    _tms_correction,
+)
+from sbdart_tpu.solver.sources import _ylm_at, thermal_particular
+
+
+def _to_scan(x, nl_axis_from_end=1):
+    """[batch..., L] -> [L, B] (or [batch..., L, k] -> [L, k, B])."""
+    if nl_axis_from_end == 1:
+        x = jnp.moveaxis(x, -1, 0)
+        return x.reshape(x.shape[0], -1)
+    x = jnp.moveaxis(x, -2, 0)
+    x = x.reshape(x.shape[0], -1, x.shape[-1])
+    return jnp.moveaxis(x, -1, 1)
+
+
+def solve_rte_radiance_lane(
+    dtauc, ssalb_in, pmom, *,
+    nstr, fbeam, umu0, phi0, fisot, albedo,
+    planck, temper, wvnlo, wvnhi, btemp, ttemp, temis,
+    deltam, umu, phi, corint, dtype, interpret=False,
+):
+    """Radiance-mode solve, lane-resident.  Inputs batch-major and already
+    broadcast (as in solve_rte); returns RteOutputs with uu filled."""
+    from sbdart_tpu.pallas.blocktri import block_thomas_rt
+    from sbdart_tpu.pallas.eig import eig_beam_chain_lane_fused
+    from sbdart_tpu.solver.disort import RteOutputs
+
+    n = nstr // 2
+    nm = nstr                       # all azimuth Fourier modes, branchless
+    nlyr = dtauc.shape[-1]
+    batch = dtauc.shape[:-1]
+    bc = int(np.prod(batch)) if batch else 1
+    tab = angular_tables(nstr, nm)
+    mu = jnp.asarray(tab.mu, dtype)
+    w = jnp.asarray(tab.w, dtype)
+    wmu = w * mu
+    umu = np.asarray(umu, np.float64)
+    phi = np.asarray(phi, np.float64)
+    if np.any(umu == 0.0):
+        raise ValueError("user view cosines must be nonzero")
+    numu = len(umu)
+    nphi = len(phi)
+
+    # ---- optical scaling (SETDIS) -- batch-major, small tensors ----------
+    dm = apply_deltam(dtauc, ssalb_in, pmom, nstr, deltam)
+    tau_s = jnp.cumsum(dm.dtau, axis=-1)
+    tau_s = jnp.concatenate([jnp.zeros_like(tau_s[..., :1]), tau_s], axis=-1)
+    tau_u = jnp.cumsum(dm.dtau_unscaled, axis=-1)
+    tau_u = jnp.concatenate([jnp.zeros_like(tau_u[..., :1]), tau_u], axis=-1)
+
+    has_beam = fbeam > 0.0
+    mu0 = jnp.where(has_beam, jnp.abs(umu0), 0.5)
+    expbea_s = jnp.where(
+        has_beam[..., None], jnp.exp(-tau_s / mu0[..., None]), 0.0
+    )
+    expbea_u = jnp.where(
+        has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0
+    )
+
+    # ---- scattering coefficients: one lane tensor [nstr, L, Bc] ----------
+    twol1 = jnp.asarray(tab.twol1, dtype)
+    c = 0.5 * dm.ssalb[..., None] * twol1 * dm.gl       # [.., L, nstr]
+    c_scan = _to_scan(c, 2)                             # [L, nstr, Bc]
+    c3 = jnp.moveaxis(c_scan, 1, 0)                     # [nstr, L, Bc]
+
+    # static per-mode angular products
+    ylm_np = np.asarray(tab.ylm, np.float64)            # [M, nstr, N]
+    par_np = np.asarray(tab.parity, np.float64)         # [M, nstr]
+    ylm_j = jnp.asarray(ylm_np, dtype)
+    par_j = jnp.asarray(par_np, dtype)
+    a_pp = jnp.asarray(
+        ylm_np[:, :, :, None] * ylm_np[:, :, None, :], dtype
+    )                                                   # [M, l, N, N]
+    a_pm = a_pp * par_j[:, :, None, None]
+
+    # all-modes folded scattering matrices DIRECTLY in (M, L, Bc) lane order
+    c_flat = c3.reshape(nstr, nlyr * bc)                # [nstr, L*Bc]
+    cppl = jnp.einsum("mlij,lB->ijmB", a_pp, c_flat).reshape(n, n, -1)
+    cpml = jnp.einsum("mlij,lB->ijmB", a_pm, c_flat).reshape(n, n, -1)
+
+    # ---- beam RHS in (M, L, Bc) lane order -------------------------------
+    ylm0 = _ylm_at(mu0, nm, nstr, dtype)                # [batch.., m, l]
+    y0d = ylm0 * par_j                                  # Lam_l^m(-mu0)
+    y0d_l = jnp.moveaxis(
+        y0d.reshape((bc, nm, nstr)), 0, -1
+    )                                                   # [m, l, Bc]
+    mfac = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), dtype)
+    scale = (jnp.where(has_beam, fbeam, 0.0) / (2.0 * jnp.pi)).reshape(bc)
+    x0p = jnp.einsum("mli,lSB,mlB->imSB", ylm_j, c3, y0d_l)
+    x0m = jnp.einsum("ml,mli,lSB,mlB->imSB", par_j, ylm_j, c3, y0d_l)
+    amp = mfac[None, :, None, None] * scale[None, None, None, :]
+    x0p = x0p * amp
+    x0m = x0m * amp
+    inv_mu_col = (1.0 / mu)[:, None, None, None]
+    r1 = ((x0p + x0m) * inv_mu_col).reshape(n, -1)      # [N, M*L*Bc]
+    r2 = ((x0p - x0m) * inv_mu_col).reshape(n, -1)
+    mu0_f = jnp.broadcast_to(
+        mu0.reshape(bc), (nm, nlyr, bc)
+    ).reshape(1, -1).astype(dtype)
+
+    kk_l, gp_l, gm_l, zp_l, zm_l = eig_beam_chain_lane_fused(
+        cppl, cpml, r1, r2, mu0_f, tab.mu, tab.w, interpret=interpret
+    )
+
+    # ---- reshape kernel outputs to scan-lane [L, *, M*Bc] ----------------
+    mb = nm * bc
+
+    def unflat(x):
+        # [..., M*L*Bc] -> [L, ..., M*Bc]; the minor (lane) dim stays put
+        y = x.reshape(x.shape[:-1] + (nm, nlyr, bc))
+        y = jnp.moveaxis(y, -2, 0)                      # [L, ..., M, Bc]
+        return y.reshape((nlyr,) + x.shape[:-1] + (mb,))
+
+    kk = unflat(kk_l)                                   # [L, N, MB]
+    gp = unflat(gp_l)                                   # [L, N, N, MB]
+    gm = unflat(gm_l)
+    zp = unflat(zp_l)
+    zm = unflat(zm_l)
+
+    dtau_scan = _to_scan(dm.dtau)                       # [L, Bc]
+    dtau_mb = jnp.broadcast_to(
+        dtau_scan[:, None, :], (nlyr, nm, bc)
+    ).reshape(nlyr, mb)
+    ee = jnp.exp(-kk * dtau_mb[:, None, :])             # [L, N, MB]
+
+    # ---- particular solution at layer bounds -----------------------------
+    eb = _to_scan(expbea_s)                             # [L+1, Bc]
+    eb_mb = jnp.broadcast_to(
+        eb[:, None, :], (nlyr + 1, nm, bc)
+    ).reshape(nlyr + 1, mb)
+    p_tu = zp * eb_mb[:-1, None, :]
+    p_td = zm * eb_mb[:-1, None, :]
+    p_bu = zp * eb_mb[1:, None, :]
+    p_bd = zm * eb_mb[1:, None, :]
+
+    alb_flat = albedo.reshape(bc).astype(dtype)
+    surf_emission = jnp.zeros(batch, dtype)
+    top_emission = jnp.zeros(batch, dtype)
+    b_level = None
+    thermal = None
+    if planck:
+        planck_dtype = jnp.float32
+        wvnlo_b = jnp.broadcast_to(jnp.asarray(wvnlo, dtype), batch)
+        wvnhi_b = jnp.broadcast_to(jnp.asarray(wvnhi, dtype), batch)
+        b_level = planck_band(
+            wvnlo_b[..., None], wvnhi_b[..., None], temper, planck_dtype
+        ).astype(dtype)
+        # thermal particular is azimuth-mode-0 only: the batch-major einsum
+        # from c is the marginal cost (LW bands have no beam competition)
+        ylm0_j = jnp.asarray(ylm_np[0], dtype)          # [nstr, N]
+        par0_j = jnp.asarray(par_np[0], dtype)
+        cpp_bm = jnp.einsum("...Ll,li,lj->...Lij", c, ylm0_j, ylm0_j)
+        cpm_bm = jnp.einsum(
+            "...Ll,l,li,lj->...Lij", c, par0_j, ylm0_j, ylm0_j
+        )
+        tab0 = angular_tables(nstr, 1)
+        thermal = thermal_particular(
+            cpp_bm, cpm_bm, dm.ssalb, dm.dtau, b_level, tab0, dtype
+        )
+        d_scan = dtau_scan[:, None, :]
+        y0p_s = _to_scan(thermal.y0p, 2)                # [L, N, Bc]
+        y0m_s = _to_scan(thermal.y0m, 2)
+        y1p_s = _to_scan(thermal.y1p, 2)
+        y1m_s = _to_scan(thermal.y1m, 2)
+
+        def add_mode0(p, extra):
+            p4 = p.reshape(nlyr, n, nm, bc)
+            return p4.at[:, :, 0, :].add(extra).reshape(nlyr, n, mb)
+
+        p_tu = add_mode0(p_tu, y0p_s)
+        p_td = add_mode0(p_td, y0m_s)
+        p_bu = add_mode0(p_bu, y0p_s + y1p_s * d_scan)
+        p_bd = add_mode0(p_bd, y0m_s + y1m_s * d_scan)
+        btemp_b = jnp.broadcast_to(jnp.asarray(btemp, dtype), batch)
+        ttemp_b = jnp.broadcast_to(jnp.asarray(ttemp, dtype), batch)
+        btemp_eff = jnp.where(btemp_b > 0, btemp_b, temper[..., -1])
+        ttemp_eff = jnp.where(ttemp_b > 0, ttemp_b, temper[..., 0])
+        surf_emission = (
+            (1.0 - albedo)
+            * planck_band(wvnlo_b, wvnhi_b, btemp_eff, planck_dtype
+                          ).astype(dtype)
+        )
+        top_emission = (
+            jnp.broadcast_to(jnp.asarray(temis, dtype), batch)
+            * planck_band(wvnlo_b, wvnhi_b, ttemp_eff, planck_dtype
+                          ).astype(dtype)
+        )
+
+    # ---- surface operators (Lambertian: azimuth mode 0 only) -------------
+    beam_flux_surf = mu0 * jnp.where(has_beam, fbeam, 0.0) * expbea_s[..., -1]
+    mode0 = jnp.zeros((nm,), dtype).at[0].set(1.0)
+    refl_op = (
+        2.0 * alb_flat[None, None, None, :]
+        * wmu[None, :, None, None]
+        * mode0[None, None, :, None]
+        * jnp.ones((n, 1, 1, 1), dtype)
+    ).reshape(n, n, mb)                                  # [N, N, MB]
+    bref = (
+        ((albedo / jnp.pi) * beam_flux_surf).reshape(bc)[None, None, :]
+        * mode0[None, :, None]
+        * jnp.ones((n, 1, 1), dtype)
+    ).reshape(n, mb)
+    iso = (
+        (jnp.broadcast_to(jnp.asarray(fisot, dtype), batch) + top_emission)
+        .reshape(bc)[None, :] * mode0[:, None]
+    ).reshape(mb)
+    semis = (
+        surf_emission.reshape(bc)[None, None, :]
+        * mode0[None, :, None]
+        * jnp.ones((n, 1, 1), dtype)
+    ).reshape(n, mb)
+
+    # ---- BVP rhs + solve (SETMTX/SOLVE0, all modes) ----------------------
+    r_top0 = iso[None, :] - p_td[0]
+    r_topl = p_bd[:-1] - p_td[1:]
+    r_top = jnp.concatenate([r_top0[None], r_topl], axis=0)
+    r_botl = p_tu[1:] - p_bu[:-1]
+    refl_part = jnp.sum(refl_op * p_bd[-1][None, :, :], axis=1)
+    r_botL = semis + bref + refl_part - p_bu[-1]
+    r_bot = jnp.concatenate([r_botl, r_botL[None]], axis=0)
+    rhs = jnp.concatenate([r_top, r_bot], axis=1)       # [L, 2N, MB]
+
+    xs = block_thomas_rt(gp, gm, ee, refl_op, rhs, interpret=interpret)
+    a = xs[:, :n]                                       # [L, N, MB]
+    b = xs[:, n:]
+
+    # ---- boundary intensities, MODE 0 ONLY (FLUXES equivalent) -----------
+    # Fluxes and the Lambertian-surface radiance start need only the
+    # azimuth-mode-0 boundary field; slicing before the matvecs saves the
+    # full-mode evaluation (measured ~8 ms at the bench shape — it was 11%
+    # of the round-4 first-cut solve).
+    def m0(x):
+        return x.reshape(x.shape[:-1] + (nm, bc))[..., 0, :]
+
+    gp0 = m0(gp)                                        # [L, N, N, Bc]
+    gm0 = m0(gm)
+    ee0 = m0(ee)                                        # [L, N, Bc]
+    a0 = m0(a)
+    b0 = m0(b)
+    e_col0 = ee0[:, None, :, :]
+
+    def mv(m_, v_):
+        return jnp.sum(m_ * v_[:, None, :, :], axis=2)
+
+    top_up = mv(gp0, a0) + mv(gm0 * e_col0, b0)
+    top_dn = mv(gm0, a0) + mv(gp0 * e_col0, b0)
+    bot_up = mv(gp0 * e_col0, a0) + mv(gm0, b0)
+    bot_dn = mv(gm0 * e_col0, a0) + mv(gp0, b0)
+    up0 = jnp.concatenate(
+        [top_up + m0(p_tu), (bot_up + m0(p_bu))[-1:]], axis=0
+    )                                                   # [L+1, N, Bc]
+    dn0 = jnp.concatenate(
+        [top_dn + m0(p_td), (bot_dn + m0(p_bd))[-1:]], axis=0
+    )
+
+    fup = 2.0 * jnp.pi * jnp.einsum("j,vjB->vB", wmu, up0)
+    fdn_diff = 2.0 * jnp.pi * jnp.einsum("j,vjB->vB", wmu, dn0)
+
+    eb_u = _to_scan(expbea_u)                           # [L+1, Bc]
+    beam_f = jnp.where(has_beam, fbeam, 0.0).reshape(bc)[None, :]
+    mu0_b = jnp.abs(umu0).reshape(bc)[None, :]
+    fdir_scaled = mu0_b * beam_f * eb
+    rfldir = mu0_b * beam_f * eb_u
+    rfldn = fdn_diff + fdir_scaled - rfldir
+
+    uavg = (
+        0.5 * jnp.einsum("j,vjB->vB", w, up0 + dn0)
+        + beam_f * eb / (4.0 * jnp.pi)
+    )
+    ssl = jnp.concatenate([ssalb_in, ssalb_in[..., -1:]], axis=-1)
+    ssl_scan = _to_scan(ssl)
+    if b_level is None:
+        src = uavg
+    else:
+        src = uavg - _to_scan(b_level)
+    dfdt = 4.0 * jnp.pi * (1.0 - ssl_scan) * src
+
+    def to_bm(x):
+        return jnp.moveaxis(x, 0, -1).reshape(batch + (nlyr + 1,))
+
+    # ---- radiance source projections (USRINT sources, lane form) ---------
+    # Static tables contracted FIRST:  T1[m,u,i,l] = Lam_l^m(u) w_i Lam_l^m
+    # (mu_i),  T2 = T1 (-1)^(l-m);  then E[m,u,i,(L,Bc)] = sum_l T c_l.
+    # The generic path materializes chi[.., m, L, nstr, N] (2 x 136 MB at
+    # the bench shape); E is [M, U, N, L, Bc] (42 MB) and the remaining
+    # contractions are small per-lane matvecs.
+    from sbdart_tpu.solver.legendre import legendre_assoc_norm
+
+    ylm_u_np = legendre_assoc_norm(umu, nstr, nm)       # [m, l, U]
+    wy_np = ylm_np * np.asarray(tab.w)[None, None, :]   # [m, l, i]
+    t1_np = ylm_u_np[:, :, :, None] * wy_np[:, :, None, :]  # [m,l,U,i]
+    t2_np = t1_np * par_np[:, :, None, None]
+    t1 = jnp.asarray(np.moveaxis(t1_np, 1, 3), dtype)   # [m, U, i, l]
+    t2 = jnp.asarray(np.moveaxis(t2_np, 1, 3), dtype)
+    e1 = jnp.einsum("muil,lSB->muiSB", t1, c3)          # [M, U, N, L, Bc]
+    e2 = jnp.einsum("muil,lSB->muiSB", t2, c3)
+
+    gp_r = gp.reshape(nlyr, n, n, nm, bc)               # [L, i, j, M, Bc]
+    gm_r = gm.reshape(nlyr, n, n, nm, bc)
+    zp_r = zp.reshape(nlyr, n, nm, bc)
+    zm_r = zm.reshape(nlyr, n, nm, bc)
+
+    # source amplitudes at user angles: [L, U, j|-, M, Bc]
+    sd = (jnp.einsum("muiSB,SijmB->SujmB", e1, gp_r)
+          + jnp.einsum("muiSB,SijmB->SujmB", e2, gm_r))
+    su = (jnp.einsum("muiSB,SijmB->SujmB", e1, gm_r)
+          + jnp.einsum("muiSB,SijmB->SujmB", e2, gp_r))
+    sz = (jnp.einsum("muiSB,SimB->SumB", e1, zp_r)
+          + jnp.einsum("muiSB,SimB->SumB", e2, zm_r))
+
+    # direct-beam pseudo source X0(u) (scaled like the kernel's beam RHS)
+    ylm_u_j = jnp.asarray(ylm_u_np, dtype)              # [m, l, U]
+    x0u = jnp.einsum("mlu,lSB,mlB->SumB", ylm_u_j, c3, y0d_l)
+    beam_amp = (mfac[None, None, :, None]
+                * scale[None, None, None, :])           # [1, 1, M, Bc]
+    sz_tot = sz + x0u * beam_amp                        # [L, U, M, Bc]
+
+    # thermal source at user angles (mode 0 only): st0 + st1 * t'
+    if thermal is not None:
+        # chi_y[l, L, Bc] = sum_i wy0[l,i] y0p[L,i,Bc] + par0 wy0 y0m
+        wy0 = jnp.asarray(wy_np[0], dtype)              # [l, i]
+        wy0p = wy0 * par0_j[:, None]
+        chi_y0 = (jnp.einsum("li,SiB->lSB", wy0, y0p_s)
+                  + jnp.einsum("li,SiB->lSB", wy0p, y0m_s))
+        chi_y1 = (jnp.einsum("li,SiB->lSB", wy0, y1p_s)
+                  + jnp.einsum("li,SiB->lSB", wy0p, y1m_s))
+        ylm_u0 = jnp.asarray(ylm_u_np[0], dtype)        # [l, U]
+        emis_s = 1.0 - _to_scan(dm.ssalb)               # [L, Bc]
+        btop_s = _to_scan(thermal.b_top)
+        bbot_s = _to_scan(thermal.b_bot)
+        b1_s = (bbot_s - btop_s) / jnp.maximum(dtau_scan, DTAU_MIN)
+        st0_0 = (jnp.einsum("lSB,lu,lSB->SuB", c3, ylm_u0, chi_y0)
+                 + (emis_s * btop_s)[:, None, :])
+        st1_0 = (jnp.einsum("lSB,lu,lSB->SuB", c3, ylm_u0, chi_y1)
+                 + (emis_s * b1_s)[:, None, :])
+        # azimuth mode 0 only; cos(0) = 1 so these add p-broadcast below
+        st0 = st0_0[:, :, None, :]                      # [L, U, 1(P), Bc]
+        st1 = st1_0[:, :, None, :]
+    else:
+        st0 = jnp.zeros((nlyr, numu, 1, bc), dtype)
+        st1 = jnp.zeros((nlyr, numu, 1, bc), dtype)
+
+    # ---- per-angle path recursion (USRINT/CMPINT) ------------------------
+    kk_r = kk.reshape(nlyr, n, nm, bc)                  # [L, N, M, Bc]
+    dtau_r = dtau_scan[:, None, None, None, :]          # [L, 1(U), 1, 1, Bc]
+    a_r = a.reshape(nlyr, n, nm, bc)
+    b_r = b.reshape(nlyr, n, nm, bc)
+    eb_top_r = eb[:-1][:, None, None, :]                # [L, 1(U), 1, Bc]
+    inv_mu0_r = (1.0 / mu0).reshape(bc)[None, None, None, :]
+
+    up_idx = np.where(umu > 0)[0]
+    dn_idx = np.where(umu < 0)[0]
+
+    mu0f_r = mu0.reshape(bc)
+    fdir_bot = (mu0 * jnp.where(has_beam, fbeam, 0.0)).reshape(bc) \
+        * eb[-1]                                        # [Bc]
+    fdn_bot = 2.0 * jnp.einsum("j,jB->B", wmu, dn0[-1])
+    i_surf0 = (surf_emission.reshape(bc)
+               + alb_flat * (fdir_bot / jnp.pi + fdn_bot))
+    i_top0 = (jnp.broadcast_to(jnp.asarray(fisot, dtype), batch)
+              .reshape(bc) + top_emission.reshape(bc))
+
+    # The azimuth Fourier sum uu = sum_m I_m cos(m (phi0 - phi)) commutes
+    # with the layer recursion because the per-layer transmission e_lay is
+    # MODE-INDEPENDENT: fold cos(m dphi) into the per-layer source BEFORE
+    # the scan, shrinking the scan payload and outputs from nm (=nstr)
+    # azimuth modes to nphi view azimuths.  Mode-0-only terms (thermal,
+    # boundary starts) pass through with cos(0) = 1 as a p-broadcast.
+    phi_r = jnp.asarray(np.deg2rad(phi), dtype)         # [P]
+    marange = jnp.arange(nm, dtype=dtype)
+    phi0_b = jnp.broadcast_to(jnp.asarray(phi0, dtype), batch).reshape(bc)
+    cosm = jnp.cos(
+        marange[:, None, None]
+        * (jnp.deg2rad(phi0_b)[None, None, :] - phi_r[None, :, None])
+    )                                                   # [M, P, Bc]
+
+    def scan_up(u_vals, idx):
+        u = jnp.asarray(u_vals, dtype)                  # [Uu]
+        uB = u[None, :, None, None, None]               # [1(L), U, 1(N),1,1]
+        int_dn = _int_toward(kk_r[:, None], dtau_r, uB)  # [L, U, N, M, Bc]
+        int_up = _int_away(kk_r[:, None], dtau_r, uB)
+        e_lay = jnp.exp(-dtau_r[:, :, 0] / u[None, :, None, None])
+        int_beam = _int_toward(
+            inv_mu0_r[..., None, :], dtau_r[:, :, 0][..., None, :],
+            u[None, :, None, None, None],
+        )[:, :, 0]                                      # [L, U, 1, Bc]
+        j_modes = (
+            jnp.einsum("SjmB,SujmB,SujmB->SumB",
+                       a_r, sd[:, idx], int_dn)
+            + jnp.einsum("SjmB,SujmB,SujmB->SumB",
+                         b_r, su[:, idx], int_up)
+            + sz_tot[:, idx] * eb_top_r * int_beam
+        )                                               # [L, U, M, Bc]
+        j_lay = (
+            jnp.einsum("SumB,mpB->SupB", j_modes, cosm)
+            + st0[:, idx] * (1.0 - e_lay)
+            + st1[:, idx] * (u[None, :, None, None]
+                             - (dtau_r[:, :, 0] + u[None, :, None, None])
+                             * e_lay)
+        )                                               # [L, U, P, Bc]
+        i_surf = jnp.broadcast_to(
+            i_surf0[None, None, :], (len(u_vals), nphi, bc)
+        )
+
+        def step(carry, inp):
+            j_l, e_l = inp
+            nxt = carry * e_l + j_l
+            return nxt, nxt
+
+        e_b = jnp.broadcast_to(e_lay, j_lay.shape)
+        _, i_tops = jax.lax.scan(step, i_surf, (j_lay[::-1], e_b[::-1]))
+        return jnp.concatenate([i_tops[::-1], i_surf[None]], axis=0)
+
+    def scan_dn(u_vals, idx):
+        ub = jnp.asarray(np.abs(u_vals), dtype)
+        uB = ub[None, :, None, None, None]
+        int_dn = _int_away(kk_r[:, None], dtau_r, uB)
+        int_up = _int_toward(kk_r[:, None], dtau_r, uB)
+        e_lay = jnp.exp(-dtau_r[:, :, 0] / ub[None, :, None, None])
+        int_beam = _int_away(
+            inv_mu0_r[..., None, :], dtau_r[:, :, 0][..., None, :],
+            ub[None, :, None, None, None],
+        )[:, :, 0]
+        j_modes = (
+            jnp.einsum("SjmB,SujmB,SujmB->SumB",
+                       a_r, sd[:, idx], int_dn)
+            + jnp.einsum("SjmB,SujmB,SujmB->SumB",
+                         b_r, su[:, idx], int_up)
+            + sz_tot[:, idx] * eb_top_r * int_beam
+        )
+        j_lay = (
+            jnp.einsum("SumB,mpB->SupB", j_modes, cosm)
+            + st0[:, idx] * (1.0 - e_lay)
+            + st1[:, idx] * (dtau_r[:, :, 0]
+                             - ub[None, :, None, None] * (1.0 - e_lay))
+        )
+        i_top = jnp.broadcast_to(
+            i_top0[None, None, :], (len(u_vals), nphi, bc)
+        )
+
+        def step(carry, inp):
+            j_l, e_l = inp
+            nxt = carry * e_l + j_l
+            return nxt, nxt
+
+        e_b = jnp.broadcast_to(e_lay, j_lay.shape)
+        _, i_bots = jax.lax.scan(step, i_top, (j_lay, e_b))
+        return jnp.concatenate([i_top[None], i_bots], axis=0)
+
+    out_parts = jnp.zeros((nlyr + 1, numu, nphi, bc), dtype)
+    if len(up_idx) > 0:
+        out_parts = out_parts.at[:, list(up_idx)].set(
+            scan_up(umu[up_idx], up_idx)
+        )
+    if len(dn_idx) > 0:
+        out_parts = out_parts.at[:, list(dn_idx)].set(
+            scan_dn(umu[dn_idx], dn_idx)
+        )
+
+    uu = jnp.moveaxis(out_parts, -1, 0).reshape(
+        batch + (nlyr + 1, numu, nphi)
+    )
+
+    if corint:
+        uu = uu + _tms_correction(
+            dm=dm, pmom_unscaled=pmom, tau_s=tau_s,
+            expbea_s=expbea_s, fbeam=fbeam, mu0=mu0, phi0=phi0,
+            umu=umu, phi=phi, nstr=nstr, dtype=dtype,
+        )
+        if np.any(umu < 0):
+            uu = uu - _ims_correction(
+                dm=dm, pmom_unscaled=pmom,
+                ssalb_unscaled=ssalb_in, tau_u=tau_u,
+                fbeam=fbeam, mu0=mu0, phi0=phi0,
+                umu=umu, phi=phi, nstr=nstr, dtype=dtype,
+            )
+
+    return RteOutputs(
+        to_bm(rfldir), to_bm(rfldn), to_bm(fup), to_bm(dfdt), to_bm(uavg),
+        uu,
+    )

@@ -11,6 +11,7 @@ def hg_moments(g, nmom):
 
 
 class TestAlbTrn:
+    @pytest.mark.slow
     def test_conservative_closure(self):
         """w0=1, black surface: albedo + transmission == 1 per angle."""
         umu = jnp.array([0.2, 0.5, 0.9])

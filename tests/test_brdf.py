@@ -54,6 +54,7 @@ class TestBrdfMachinery:
             np.asarray(a.rfldn), np.asarray(b.rfldn), rtol=1e-10, atol=1e-13
         )
 
+    @pytest.mark.slow
     def test_lambert_brdf_matches_albedo_radiances(self):
         kw = dict(COMMON, onlyfl=False,
                   umu=np.array([-0.7, -0.3, 0.3, 0.7]),

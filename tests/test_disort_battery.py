@@ -170,6 +170,7 @@ def _flux_compare(dtau, ssalb, gl, *, nstr, mu0, albedo=0.0, fisot=0.0,
     return out, ref
 
 
+@pytest.mark.slow
 def test_truncation_convergence():
     """Residuals vs doubling must be angular truncation: 10x+ smaller at
     nstr=32 than nstr=16 for the worst case (thin layer, grazing beam)."""
@@ -210,6 +211,7 @@ class TestBatteryFluxes:
         _flux_compare(np.array([1.0]), np.array([w0]), hg(0.75, 65),
                       nstr=32, mu0=0.5, tol=6e-5)
 
+    @pytest.mark.slow
     def test_multilayer_with_surface(self):
         # Rayleigh over HG cloud over absorber, Lambertian albedo 0.3
         dtau = np.array([0.25, 4.0, 1.0])
@@ -274,6 +276,7 @@ class TestBatteryThermal:
                              planck_layer=np.array([b]), nq=48)
         assert np.abs(np.asarray(out.uavg).ravel() - ref.uavg).max() < 2e-5 * b
 
+    @pytest.mark.slow
     def test_scattering_thermal_multilayer(self):
         """Scattering atmosphere with a piecewise-linear Planck profile vs
         doubling.  The solver's source is linear-in-tau per layer; the
@@ -343,6 +346,7 @@ class TestBatteryThermal:
 class TestBatteryRadiances:
     """Radiance outputs (all azimuth modes, TMS/IMS corrections active)."""
 
+    @pytest.mark.slow
     def test_isotropic_radiances(self):
         umu = np.array([-0.9, -0.5, 0.5, 0.9])
         phi = np.array([0.0])
@@ -404,6 +408,7 @@ class TestBatteryRadiances:
 
 
 class TestDfdt:
+    @pytest.mark.slow
     def test_dfdt_matches_flux_divergence(self):
         """dfdt == d(net flux)/d(tau) by central differences of the
         doubling reference's net-flux profile (validates the 4 pi (1-w0)

@@ -78,6 +78,7 @@ class TestClearSkyCoolingProfile:
 
 
 @pytest.mark.parametrize("band", [(400.0, 500.0), (900.0, 1000.0)])
+@pytest.mark.slow
 def test_thermal_dfdt_two_bands(band):
     """dfdt == -d(net flux)/d(tau) in the THERMAL regime, two IR bands.
 

@@ -62,6 +62,7 @@ def test_published_e1_recurrence_vs_scipy():
 
 
 @pytest.mark.parametrize("tau", [0.5, 1.0])
+@pytest.mark.slow
 def test_isothermal_slab_emissivity_published(tau):
     """flup(TOA) / (pi B) == 1 - 2 E3(tau) with E3 from A&S digits.
 
@@ -147,6 +148,7 @@ def test_conservative_h_moments_published():
     assert alpha1 == pytest.approx(ALPHA1_CONSERVATIVE, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_single_scatter_reflection_published():
     """DOM radiance -> Hansen & Travis (1974) first-order closed form as
     w0 -> 0 (isotropic phase function, so P(Theta) = 1 and the delta-M /

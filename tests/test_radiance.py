@@ -94,6 +94,7 @@ class TestRadianceAnalytic:
                 )
                 np.testing.assert_allclose(uu[0, i, j], iss, rtol=2e-3)
 
+    @pytest.mark.slow
     def test_flux_consistency(self):
         """Angular integration of uu at quadrature angles reproduces fluxes."""
         nstr = 8
@@ -134,6 +135,7 @@ class TestRadianceAnalytic:
         np.testing.assert_allclose(uu[1], uu[4], rtol=1e-10)  # 90 vs 270
         np.testing.assert_allclose(uu[2], uu[3], rtol=1e-10)  # 150 vs 210
 
+    @pytest.mark.slow
     def test_rotation_invariance(self):
         a = run_rad(
             [0.8], 0.8, hg_moments(0.5, 18), 8, umu=[0.4], phi=[10.0, 100.0],
@@ -268,6 +270,7 @@ class TestSelfConvergence:
         assert abs(vals[2] - vals[1]) < 2e-4 * abs(vals[2])
 
 
+@pytest.mark.slow
 def test_batched_radiances_match_loop():
     """Radiance path with a leading BATCH axis == per-column solves.
 

@@ -238,6 +238,7 @@ class TestThermal:
 
 
 class TestBatching:
+    @pytest.mark.slow
     def test_batched_matches_loop(self):
         """Leading batch dims must reproduce individual solves exactly."""
         taus = np.array([[0.2, 0.8], [1.0, 0.1], [3.0, 2.0]])
