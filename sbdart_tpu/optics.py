@@ -131,4 +131,54 @@ def build_optical_deck(
     pmom = num / np.maximum(scat[..., None], 1e-30)
     pmom[..., 0] = 1.0
 
+    if cfg.spowder:
+        # Sub-surface snow-powder slab (sbdart.f namelist `spowder`,
+        # SURVEY.md A1): one optically semi-infinite scattering layer of
+        # coarse ice grains appended BELOW the surface level, with the
+        # configured Lambertian surface beneath it.  PROVISIONAL semantics
+        # (reference mount empty): grain radius 100 um (aged snow), slab
+        # optical depth 2000 — deep enough that the underlying surface is
+        # invisible at every wavelength; Mie ice optics from data/mie.py
+        # give the spectrally correct visible-bright / NIR-dark behavior
+        # (tests/test_namelist_semantics.py::TestSpowder).
+        w0_p, g_p = snow_powder_properties(wl)
+        tau_p = np.full((nwl, nk, 1), 2000.0)
+        dtau = np.concatenate([dtau, tau_p], axis=2)
+        ssalb = np.concatenate(
+            [ssalb, np.broadcast_to(
+                np.clip(w0_p, 0.0, 1.0)[:, None, None], (nwl, nk, 1)
+            )], axis=2,
+        )
+        mom_p = g_p[:, None] ** np.arange(nmom)
+        pmom = np.concatenate([pmom, mom_p[:, None, :]], axis=1)
+        zed = np.zeros((nwl, 1))
+        tau_r = np.concatenate([tau_r, zed], axis=1)
+        tau_c = np.concatenate([tau_c, zed], axis=1)
+        tau_a = np.concatenate([tau_a, zed], axis=1)
+        tau_g = np.concatenate(
+            [tau_g, np.zeros((nwl, nk, 1))], axis=2
+        )
+
     return OpticalDeck(wl, dtau, ssalb, pmom, wk, tau_r, tau_g, tau_c, tau_a)
+
+
+def snow_powder_properties(wl: np.ndarray, re: float = 100.0):
+    """(w0, g) of a coarse-grained ice powder at each wavelength.
+
+    Interpolated from the packaged ice Mie tables (data/mie.py, Warren-1984
+    -class refractive indices) at the slab's grain radius.
+    """
+    from sbdart_tpu.data.mie import tables as mie_tables
+
+    t = mie_tables()
+    reg = np.asarray(t["re"], np.float64)
+    wlg = np.asarray(t["wl"], np.float64)
+    i = int(np.clip(np.searchsorted(reg, re) - 1, 0, len(reg) - 2))
+    fr = (np.log(re) - np.log(reg[i])) / (np.log(reg[i + 1]) - np.log(reg[i]))
+    fr = float(np.clip(fr, 0.0, 1.0))
+
+    def interp_row(tab):
+        row = (1.0 - fr) * tab[i] + fr * tab[i + 1]
+        return np.interp(wl, wlg, row)
+
+    return interp_row(t["ice_w0"]), interp_row(t["ice_g"])

@@ -197,10 +197,6 @@ def run_pipeline(
             "ibcnd=1 is the albedo/transmission special mode: call "
             "run_albtrn(cfg) (the CLI dispatches automatically)"
         )
-    if cfg.spowder:
-        raise NotImplementedError(
-            "spowder (sub-surface snow powder layer) is not implemented"
-        )
     dtype = dtype or (jnp.dtype(cfg.dtype) if cfg.dtype else default_dtype())
     if profile is None:
         profile = build_profile(cfg)
@@ -261,6 +257,10 @@ def run_pipeline(
     temper = profile.t                      # [nlev] TOA-first
     btemp = cfg.btemp if cfg.btemp > 0 else float(temper[-1])
     ttemp = cfg.ttemp if cfg.ttemp > 0 else float(temper[0])
+    if cfg.spowder:
+        # sub-surface powder slab (optics.py): one extra solver layer at
+        # the surface temperature; outputs below the surface are dropped
+        temper = np.concatenate([temper, [btemp]])
 
     solver = _jitted_solver(
         cfg.nstr, onlyfl, any_thermal, cfg.deltam, cfg.corint,
@@ -324,9 +324,9 @@ def run_pipeline(
         conv = np.where(tmask > 0, 1.0 / sel(band_dlam), 1.0)[:, None]
 
         def acc(dst, field):
-            v = np.asarray(field)          # [chunk, nk, nlev]
+            v = np.asarray(field)          # [chunk, nk, nlev(+powder)]
             v = np.einsum("ck,ckv->cv", wk, v) * conv
-            dst[s:e] = v[: e - s]
+            dst[s:e] = v[: e - s, :nlev]
 
         acc(fdir, out.rfldir)
         acc(fdn, out.rfldn)
@@ -336,7 +336,7 @@ def run_pipeline(
         if want_rad:
             v = np.asarray(out.uu)         # [chunk, nk, nlev, numu, nphi]
             v = np.einsum("ck,ckvup->cvup", wk, v) * conv[..., None, None]
-            uu[s:e] = v[: e - s]
+            uu[s:e] = v[: e - s, :nlev]
 
     return SpectralResult(
         cfg=cfg, profile=profile, wl=wl, dwl=_trapz_weights(wl),

@@ -328,12 +328,13 @@ def solve_rte_radiance_lane(
     def to_bm(x):
         return jnp.moveaxis(x, 0, -1).reshape(batch + (nlyr + 1,))
 
-    # ---- radiance source projections (USRINT sources, lane form) ---------
-    # Static tables contracted FIRST:  T1[m,u,i,l] = Lam_l^m(u) w_i Lam_l^m
-    # (mu_i),  T2 = T1 (-1)^(l-m);  then E[m,u,i,(L,Bc)] = sum_l T c_l.
-    # The generic path materializes chi[.., m, L, nstr, N] (2 x 136 MB at
-    # the bench shape); E is [M, U, N, L, Bc] (42 MB) and the remaining
-    # contractions are small per-lane matvecs.
+    # ---- radiance source projections: ONE fused kernel -------------------
+    # Per-(mode, layer, column) lane, the kernel builds the user-angle
+    # source amplitudes from the static Legendre tables and immediately
+    # contracts them with the analytic path integrals — the [U, N, M, L, B]
+    # intermediates that cost ~28 ms as XLA fusions never leave VMEM
+    # (pallas/radsrc.py).
+    from sbdart_tpu.pallas.radsrc import rad_source_lane
     from sbdart_tpu.solver.legendre import legendre_assoc_norm
 
     ylm_u_np = legendre_assoc_norm(umu, nstr, nm)       # [m, l, U]
@@ -342,28 +343,45 @@ def solve_rte_radiance_lane(
     t2_np = t1_np * par_np[:, :, None, None]
     t1 = jnp.asarray(np.moveaxis(t1_np, 1, 3), dtype)   # [m, U, i, l]
     t2 = jnp.asarray(np.moveaxis(t2_np, 1, 3), dtype)
-    e1 = jnp.einsum("muil,lSB->muiSB", t1, c3)          # [M, U, N, L, Bc]
-    e2 = jnp.einsum("muil,lSB->muiSB", t2, c3)
+    yu = jnp.asarray(np.moveaxis(ylm_u_np, 1, 2), dtype)  # [m, U, l]
 
-    gp_r = gp.reshape(nlyr, n, n, nm, bc)               # [L, i, j, M, Bc]
-    gm_r = gm.reshape(nlyr, n, n, nm, bc)
-    zp_r = zp.reshape(nlyr, n, nm, bc)
-    zm_r = zm.reshape(nlyr, n, nm, bc)
+    lb = nlyr * bc
 
-    # source amplitudes at user angles: [L, U, j|-, M, Bc]
-    sd = (jnp.einsum("muiSB,SijmB->SujmB", e1, gp_r)
-          + jnp.einsum("muiSB,SijmB->SujmB", e2, gm_r))
-    su = (jnp.einsum("muiSB,SijmB->SujmB", e1, gm_r)
-          + jnp.einsum("muiSB,SijmB->SujmB", e2, gp_r))
-    sz = (jnp.einsum("muiSB,SimB->SumB", e1, zp_r)
-          + jnp.einsum("muiSB,SimB->SumB", e2, zm_r))
+    def mlead(x, d):
+        """Kernel-output [d.., M*L*Bc] -> [M, d.., LB] (leading-axis move)."""
+        y = x.reshape(x.shape[:-1] + (nm, lb))
+        return jnp.moveaxis(y, -2, 0)
 
-    # direct-beam pseudo source X0(u) (scaled like the kernel's beam RHS)
-    ylm_u_j = jnp.asarray(ylm_u_np, dtype)              # [m, l, U]
-    x0u = jnp.einsum("mlu,lSB,mlB->SumB", ylm_u_j, c3, y0d_l)
-    beam_amp = (mfac[None, None, :, None]
-                * scale[None, None, None, :])           # [1, 1, M, Bc]
-    sz_tot = sz + x0u * beam_amp                        # [L, U, M, Bc]
+    gp_k = mlead(gp_l, 2)                               # [M, N, N, LB]
+    gm_k = mlead(gm_l, 2)
+    kk_k = mlead(kk_l, 1)                               # [M, N, LB]
+    zp_k = mlead(zp_l, 1)
+    zm_k = mlead(zm_l, 1)
+    # BVP amplitudes from scan layout [L, N, (M, Bc)] -> [M, N, (L, Bc)]
+    a_k = jnp.transpose(
+        a.reshape(nlyr, n, nm, bc), (2, 1, 0, 3)
+    ).reshape(nm, n, lb)
+    b_k = jnp.transpose(
+        b.reshape(nlyr, n, nm, bc), (2, 1, 0, 3)
+    ).reshape(nm, n, lb)
+    y0d_k = jnp.broadcast_to(
+        y0d_l[:, :, None, :], (nm, nstr, nlyr, bc)
+    ).reshape(nm, nstr, lb)
+    c_k = c3.reshape(nstr, lb)
+    dtau_k = dtau_scan.reshape(1, lb)
+    ebtop_k = eb[:-1].reshape(1, lb)
+    mu0_k = jnp.broadcast_to(
+        mu0.reshape(bc)[None, :], (nlyr, bc)
+    ).reshape(1, lb).astype(dtype)
+    scale_k = jnp.broadcast_to(
+        scale[None, :], (nlyr, bc)
+    ).reshape(1, lb).astype(dtype)
+
+    j_all = rad_source_lane(
+        t1, t2, yu, c_k, y0d_k, gp_k, gm_k, kk_k, zp_k, zm_k, a_k, b_k,
+        dtau_k, ebtop_k, mu0_k, scale_k, umu, interpret=interpret,
+    )                                                   # [M, U, LB]
+    j_modes_r = j_all.reshape(nm, numu, nlyr, bc)
 
     # thermal source at user angles (mode 0 only): st0 + st1 * t'
     if thermal is not None:
@@ -391,12 +409,7 @@ def solve_rte_radiance_lane(
         st1 = jnp.zeros((nlyr, numu, 1, bc), dtype)
 
     # ---- per-angle path recursion (USRINT/CMPINT) ------------------------
-    kk_r = kk.reshape(nlyr, n, nm, bc)                  # [L, N, M, Bc]
     dtau_r = dtau_scan[:, None, None, None, :]          # [L, 1(U), 1, 1, Bc]
-    a_r = a.reshape(nlyr, n, nm, bc)
-    b_r = b.reshape(nlyr, n, nm, bc)
-    eb_top_r = eb[:-1][:, None, None, :]                # [L, 1(U), 1, Bc]
-    inv_mu0_r = (1.0 / mu0).reshape(bc)[None, None, None, :]
 
     up_idx = np.where(umu > 0)[0]
     dn_idx = np.where(umu < 0)[0]
@@ -424,25 +437,16 @@ def solve_rte_radiance_lane(
         * (jnp.deg2rad(phi0_b)[None, None, :] - phi_r[None, :, None])
     )                                                   # [M, P, Bc]
 
+    # fold the azimuth sum into the kernel's per-mode source, add the
+    # (mode-0-only) thermal terms, then run the layer recursions on the
+    # small [L, U, P, Bc] payload
+    jt = jnp.einsum("muSB,mpB->SupB", j_modes_r, cosm)  # [L, U, P, Bc]
+
     def scan_up(u_vals, idx):
         u = jnp.asarray(u_vals, dtype)                  # [Uu]
-        uB = u[None, :, None, None, None]               # [1(L), U, 1(N),1,1]
-        int_dn = _int_toward(kk_r[:, None], dtau_r, uB)  # [L, U, N, M, Bc]
-        int_up = _int_away(kk_r[:, None], dtau_r, uB)
         e_lay = jnp.exp(-dtau_r[:, :, 0] / u[None, :, None, None])
-        int_beam = _int_toward(
-            inv_mu0_r[..., None, :], dtau_r[:, :, 0][..., None, :],
-            u[None, :, None, None, None],
-        )[:, :, 0]                                      # [L, U, 1, Bc]
-        j_modes = (
-            jnp.einsum("SjmB,SujmB,SujmB->SumB",
-                       a_r, sd[:, idx], int_dn)
-            + jnp.einsum("SjmB,SujmB,SujmB->SumB",
-                         b_r, su[:, idx], int_up)
-            + sz_tot[:, idx] * eb_top_r * int_beam
-        )                                               # [L, U, M, Bc]
         j_lay = (
-            jnp.einsum("SumB,mpB->SupB", j_modes, cosm)
+            jt[:, idx]
             + st0[:, idx] * (1.0 - e_lay)
             + st1[:, idx] * (u[None, :, None, None]
                              - (dtau_r[:, :, 0] + u[None, :, None, None])
@@ -463,23 +467,9 @@ def solve_rte_radiance_lane(
 
     def scan_dn(u_vals, idx):
         ub = jnp.asarray(np.abs(u_vals), dtype)
-        uB = ub[None, :, None, None, None]
-        int_dn = _int_away(kk_r[:, None], dtau_r, uB)
-        int_up = _int_toward(kk_r[:, None], dtau_r, uB)
         e_lay = jnp.exp(-dtau_r[:, :, 0] / ub[None, :, None, None])
-        int_beam = _int_away(
-            inv_mu0_r[..., None, :], dtau_r[:, :, 0][..., None, :],
-            ub[None, :, None, None, None],
-        )[:, :, 0]
-        j_modes = (
-            jnp.einsum("SjmB,SujmB,SujmB->SumB",
-                       a_r, sd[:, idx], int_dn)
-            + jnp.einsum("SjmB,SujmB,SujmB->SumB",
-                         b_r, su[:, idx], int_up)
-            + sz_tot[:, idx] * eb_top_r * int_beam
-        )
         j_lay = (
-            jnp.einsum("SumB,mpB->SupB", j_modes, cosm)
+            jt[:, idx]
             + st0[:, idx] * (1.0 - e_lay)
             + st1[:, idx] * (dtau_r[:, :, 0]
                              - ub[None, :, None, None] * (1.0 - e_lay))

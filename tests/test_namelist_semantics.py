@@ -102,11 +102,48 @@ class TestPhaseSelectors:
         assert r_hg.fdn[0, -1] != pytest.approx(r_pm.fdn[0, -1], rel=1e-3)
 
 
-class TestRefusals:
-    def test_spowder_raises(self):
-        with pytest.raises(NotImplementedError, match="spowder"):
-            run_pipeline(Config(spowder=True))
+class TestSpowder:
+    """spowder: sub-surface snow-powder slab (sbdart.f namelist, SURVEY A1).
 
+    Provisional semantics (mount empty): a semi-infinite coarse-ice-grain
+    scattering layer below the surface — bright in the visible, strongly
+    absorbing in the NIR (ice optics), hiding the underlying surface."""
+
+    def _refl(self, wl, **kw):
+        cfg = Config(idatm=2, wlinf=wl, wlsup=wl, sza=30.0, nstr=4,
+                     spowder=True, **kw)
+        r = run_pipeline(cfg)
+        dn = r.fdir[0, -1] + r.fdn[0, -1]
+        return float(r.fup[0, -1] / max(dn, 1e-12))
+
+    def test_visible_bright_nir_dark(self):
+        r_vis = self._refl(0.55, albcon=0.2)
+        r_nir = self._refl(1.6, albcon=0.2)
+        assert r_vis > 0.7, r_vis         # fresh-powder visible brightness
+        assert r_nir < 0.3, r_nir         # ice absorption darkens the NIR
+        assert r_nir < r_vis - 0.4        # spectrally correct darkening
+
+    def test_powder_hides_surface(self):
+        """Semi-infinite slab: the underlying albedo is invisible."""
+        a = self._refl(0.55, albcon=0.0)
+        b = self._refl(0.55, albcon=0.9)
+        assert a == pytest.approx(b, abs=0.02)
+
+    def test_darker_than_snow_albedo_at_nir(self):
+        """At 1.6 um the 100 um-grain powder (Mie ice, w0 ~ 0.87,
+        semi-infinite albedo ~ 0.12) is darker than the isalb=1 snow
+        ALBEDO curve (0.14) — coarse-grain absorption that the Lambertian
+        curve's fixed grain size misses."""
+        from sbdart_tpu.surface import surface_albedo
+
+        snow_alb = float(
+            surface_albedo(Config(isalb=1), np.array([1.6]))[0]
+        )
+        r = self._refl(1.6, albcon=0.2)
+        assert r < snow_alb
+
+
+class TestRefusals:
     def test_krhclr_invalid_raises(self):
         from sbdart_tpu.atmosphere import build_profile
         from sbdart_tpu.clouds import apply_cloud_humidity
