@@ -442,6 +442,20 @@ def main() -> None:
         with open(ws_path) as fh:
             ws = json.load(fh)
         ws_eff = ws.get("efficiency_vs_linear")
+        if isinstance(ws_eff, dict):
+            # the 4/8-process rows oversubscribe this 2-core host: they are
+            # contention artifacts, not communication cost (see
+            # benchmarks/comm_fraction.json for the contention-free bound)
+            ws_eff = {
+                k: (v if int(k) <= 2 else f"{v} (CPU-contention bound)")
+                for k, v in ws_eff.items()
+            }
+    comm_frac = None
+    cf_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "comm_fraction.json")
+    if os.path.exists(cf_path):
+        with open(cf_path) as fh:
+            comm_frac = json.load(fh).get("comm_fraction")
 
     print(json.dumps({
         "metric": "band_columns_per_sec_per_chip",
@@ -457,6 +471,7 @@ def main() -> None:
             "eig_lane_sol_pct": None if sol_eig != sol_eig else round(sol_eig, 1),
             "measured_rooflines": rooflines,
             "weak_scaling_efficiency_cpu_mesh": ws_eff,
+            "collective_fraction_bound": comm_frac,
         },
     }))
 

@@ -451,14 +451,16 @@ def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
     dtype = gp.dtype
 
     if layer_chunk is None:
-        # autotune: the largest chunk that still allows a >= 256-lane tile
-        # fills VMEM instead of the round-2 hardcoded 8 (bigger chunks
-        # amortize the grid-step carry and the one-layer halo re-reads)
+        # autotune: the largest chunk whose working set still allows a
+        # 128-lane tile (bigger chunks amortize the grid-step carry and the
+        # one-layer halo re-reads; round-4 trace sweep at n=8, B=4096:
+        # lc=24/tile=128 is 8% faster than lc=8/tile=256 — chunk size
+        # dominates lane-tile width for this serial-loop-bound kernel)
         layer_chunk = 8
         for lc_try in (64, 48, 32, 24, 16, 12):
             if lc_try <= nlyr and _tile_for_vmem(
                 2 * _chunk_floats(lc_try, n, m), 256
-            ) >= 256:
+            ) >= 128:
                 layer_chunk = lc_try
                 break
 

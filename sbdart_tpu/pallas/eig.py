@@ -372,9 +372,12 @@ def _eig_lane_call(cppl, cpml, *, mu_t, w_t, sweeps, tile_b, interpret):
 
 # Default Jacobi sweep count: measured on physics matrices at n=8 (incl.
 # near-conservative ssalb up to 1 - 1e-6): eigenvalue error and residual hit
-# the f32 floor by sweep 3 and are bit-stable from sweep 4 on; 6 keeps a 2x
-# margin while halving the round-2 kernel's 10-sweep cost.
-DEFAULT_SWEEPS = 6
+# the f32 floor by sweep 3 and are bit-stable from sweep 4 on.  Round 4
+# trims the round-3 default 6 -> 5 (one full sweep of margin over the
+# bit-stable point): trace-measured kernel time at the radiance shape
+# (n=8, 266k lanes) drops 12.2 -> 10.7 ms, and the fused-vs-lane
+# equivalence suites hold at their existing bars.
+DEFAULT_SWEEPS = 5
 
 
 def eig_chain_lane_fused(

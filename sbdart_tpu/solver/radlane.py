@@ -15,16 +15,20 @@ minor (lane) axis is the flattened (mode, layer, column) product for the
 eigensolve+beam kernel and (mode, column) with layers leading for the BVP
 kernel — the reshape between the two moves only leading axes (the lane dim
 stays put), which XLA emits as a near-bandwidth copy.  The radiance
-source-function projections contract the STATIC angular tables first
-(per-mode Legendre x quadrature products), so the only materialized
-intermediate is [M, U, N, L, B] instead of the generic path's
-[M, L, nstr, N] scattering tensor pair.
+source-function projections and per-layer path integrals run as a THIRD
+fused kernel (pallas/radsrc.py) whose intermediates never leave VMEM, and
+the azimuth Fourier sum is folded into the per-layer source before the
+path recursion (the per-layer transmission is mode-independent), so the
+layer scans carry nphi azimuths instead of nstr modes.  Measured end
+state (round 4): 23.8 ms/solve at the bench shape — eig+beam ~11 ms,
+block-Thomas ~7 ms, radsrc 0.7 ms, glue ~4 ms — vs ~60 ms generic.
 
 Engaged from solve_rte for: radiance runs (onlyfl=False, umu given),
 Lambertian surface, f32, N = nstr/2 even and <= 8, all nstr modes, on TPU
 (or interpret for tests).  Everything else falls back to the generic path;
 equivalence is pinned by tests/test_radlane.py (interpret mode vs the
-generic path, plus a TPU-gated compiled case at an unaligned batch).
+generic path, a TPU-gated cross-path case, and a TPU-gated
+padding-consistency case at the unaligned production batch).
 
 Reference map: DISORT's per-mode loop (SOLEIG + UPBEAM + SETMTX + SOLVE0 +
 USRINT/CMPINT per m, then the cos(m dphi) Fourier sum — disort.f, SURVEY.md
@@ -414,7 +418,6 @@ def solve_rte_radiance_lane(
     up_idx = np.where(umu > 0)[0]
     dn_idx = np.where(umu < 0)[0]
 
-    mu0f_r = mu0.reshape(bc)
     fdir_bot = (mu0 * jnp.where(has_beam, fbeam, 0.0)).reshape(bc) \
         * eb[-1]                                        # [Bc]
     fdn_bot = 2.0 * jnp.einsum("j,jB->B", wmu, dn0[-1])

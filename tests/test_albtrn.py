@@ -1,6 +1,7 @@
 """Tests of the slab albedo/transmission mode (ALBTRN / ibcnd=1 equiv)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sbdart_tpu.solver.albtrn import slab_albedo_transmission

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sbdart_tpu.solver.disort import solve_rte

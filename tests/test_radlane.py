@@ -56,8 +56,15 @@ def _compare(o_a, o_b, tol):
 
 @pytest.mark.parametrize(
     "nstr,planck,beam",
-    [(4, False, True), (4, True, True), (16, False, True),
-     (16, True, True), (8, False, False)],
+    [
+        # fast gate: the two extreme corners (n=2 closed-form solar-only,
+        # n=8 Jacobi + thermal); the rest run in the full (slow) suite
+        (4, False, True),
+        (16, True, True),
+        pytest.param(4, True, True, marks=pytest.mark.slow),
+        pytest.param(16, False, True, marks=pytest.mark.slow),
+        pytest.param(8, False, False, marks=pytest.mark.slow),
+    ],
 )
 def test_radlane_matches_generic(nstr, planck, beam):
     """Interpret-mode lane radiance == generic path: solar, thermal,
@@ -88,17 +95,47 @@ def test_radlane_upward_only_angles():
 
 
 @pytest.mark.tpu
-@pytest.mark.parametrize("nbc", [130, 256])
-def test_radlane_compiled_on_tpu(nbc):
-    """Mosaic-compiled lane radiance path vs generic on real hardware, at
-    an unaligned batch (130: pads inside the kernels) and an aligned one."""
+def test_radlane_compiled_on_tpu_vs_generic():
+    """Mosaic-compiled lane radiance path vs the generic path on real
+    hardware.  nstr=8/33 layers: the generic lane path's nstr=16/65-layer
+    compile alone takes ~10 minutes on the tunneled chip, so the
+    cross-path check runs at a smaller shape (same kernels, same
+    specializations: n=4 even, streamed BVP) and the production shape is
+    covered by the padding-consistency test below plus the interpret-mode
+    equivalence suite."""
     import jax
 
     if jax.default_backend() not in ("tpu", "axon"):
         pytest.skip("no TPU backend")
-    args, kw = _radiance_problem(16, 65, nbc)
+    args, kw = _radiance_problem(8, 33, 128)
     o_lan = solve_rte(*args, eig_method="fused", **kw)
     o_gen = solve_rte(*args, eig_method="lane", **kw)
     # two backward-stable f32 paths with different accumulation orders;
     # same bar as test_fused_eig_beam_compiled_on_tpu
     _compare(o_lan, o_gen, 3e-3)
+
+
+@pytest.mark.tpu
+def test_radlane_compiled_unaligned_batch_consistent():
+    """Production shape (nstr=16, 65 layers) at an UNALIGNED batch (130 —
+    the round-2 Mosaic tile trap): the compiled kernels pad lanes
+    internally; the first 130 columns of an aligned-batch (256) solve must
+    match the 130-column solve bit-for-bit-ish (same kernels, same math;
+    only the padding differs)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    args256, kw = _radiance_problem(16, 65, 256)
+    o256 = solve_rte(*args256, eig_method="fused", **kw)
+    args130 = tuple(a[:130] for a in args256)
+    kw130 = dict(kw)
+    for k in ("fbeam", "umu0", "albedo"):
+        kw130[k] = kw[k][:130]
+    o130 = solve_rte(*args130, eig_method="fused", **kw130)
+    for nm in FIELDS:
+        a = np.asarray(getattr(o130, nm))
+        b = np.asarray(getattr(o256, nm))[:130]
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert err < 1e-6, (nm, err)
+        assert np.isfinite(a).all(), nm
