@@ -6,11 +6,14 @@ grid (0–25 km by 1 km, then 30, 35, 40, 45, 50, 70, 100 km), providing
 z [km], p [mb], T [K], water-vapor density [g/m^3] and ozone density
 [g/m^3], plus uniformly-mixed trace-gas volume mixing ratios.
 
-REGENERATED (see data/__init__.py): temperature structures are built from
-the published breakpoint climatologies of the six atmospheres, pressure by
-hydrostatic integration, vapor/ozone from the published surface values,
-scale heights, and column amounts.  Accurate to a few percent against the
-published tables — swap in the reference DATA blocks for bit parity.
+Provenance: idatm=6 uses the TRANSCRIBED U.S. Standard Atmosphere 1976
+z/T/p table (US76_TABLE below — internally hydrostatic to < 2e-4 below
+20 km, the transcription check).  The other five are REGENERATED (see
+data/__init__.py): temperature structures from the published breakpoint
+climatologies, pressure by hydrostatic integration, vapor/ozone from the
+published surface values, scale heights, and column amounts — accurate to
+a few percent against the published tables; swap in the reference DATA
+blocks for bit parity.
 
 idatm codes (sbdart.f convention): 1 tropical, 2 midlatitude summer,
 3 midlatitude winter, 4 subarctic summer, 5 subarctic winter, 6 US-1962
@@ -88,6 +91,51 @@ MIXING_RATIOS = {
 
 O3_DENSITY_STP = 2.1415e-2  # g/cm^3 of pure ozone at STP (for atm-cm conversion)
 
+# ---------------------------------------------------------------------------
+# TRANSCRIBED PUBLISHED TABLE (round 4): U.S. Standard Atmosphere 1976
+# (NOAA/NASA/USAF, 1976) — z [km], T [K], p [mb] at the 33-level grid.
+# idatm=6 (the reference's US-1962 selection) uses these in place of the
+# breakpoint-regenerated profile: USSA-1962 and -1976 are identical below
+# 50 km to the digits printed here.  tests/test_physics_setup.py pins a
+# sample of the table.
+# ---------------------------------------------------------------------------
+US76_TABLE = np.array([
+    # z      T [K]     p [mb]
+    [0.0,  288.15, 1013.25],
+    [1.0,  281.65,  898.76],
+    [2.0,  275.15,  795.01],
+    [3.0,  268.66,  701.21],
+    [4.0,  262.17,  616.60],
+    [5.0,  255.68,  540.48],
+    [6.0,  249.19,  472.17],
+    [7.0,  242.70,  411.05],
+    [8.0,  236.21,  356.51],
+    [9.0,  229.73,  308.00],
+    [10.0, 223.25,  264.99],
+    [11.0, 216.77,  226.99],
+    [12.0, 216.65,  193.99],
+    [13.0, 216.65,  165.79],
+    [14.0, 216.65,  141.70],
+    [15.0, 216.65,  121.11],
+    [16.0, 216.65,  103.52],
+    [17.0, 216.65,   88.497],
+    [18.0, 216.65,   75.652],
+    [19.0, 216.65,   64.674],
+    [20.0, 216.65,   55.293],
+    [21.0, 217.58,   47.289],
+    [22.0, 218.57,   40.475],
+    [23.0, 219.57,   34.668],
+    [24.0, 220.56,   29.717],
+    [25.0, 221.55,   25.492],
+    [30.0, 226.51,   11.970],
+    [35.0, 236.51,    5.746],
+    [40.0, 250.35,    2.871],
+    [45.0, 264.16,    1.491],
+    [50.0, 270.65,    0.79779],
+    [70.0, 219.59,    0.052209],
+    [100.0, 195.08,   0.00032011],
+])
+
 
 def _temperature(idatm: int, z: np.ndarray) -> np.ndarray:
     br = np.array(_T_BREAKS[idatm])
@@ -138,8 +186,14 @@ def model_atmosphere(idatm: int) -> dict:
     if idatm not in _T_BREAKS:
         raise ValueError(f"idatm must be 1..6, got {idatm}")
     z = Z33
-    t = _temperature(idatm, z)
-    p = _pressure(z, t, _P_SURF[idatm])
+    if idatm == 6:
+        # transcribed USSA-1976 table (identical to US-1962 below 50 km)
+        assert np.allclose(US76_TABLE[:, 0], z)
+        t = US76_TABLE[:, 1].copy()
+        p = US76_TABLE[:, 2].copy()
+    else:
+        t = _temperature(idatm, z)
+        p = _pressure(z, t, _P_SURF[idatm])
     wh = _h2o_density(idatm, z)
     wo = _o3_density(idatm, z)
     order = np.argsort(z)[::-1]

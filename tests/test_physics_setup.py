@@ -31,6 +31,34 @@ class TestAtmospheres:
         assert np.all((150.0 < m["t"]) & (m["t"] < 320.0))
         assert np.all(m["wh"] >= 0) and np.all(m["wo"] >= 0)
 
+    def test_us76_transcribed_table(self):
+        """idatm=6 is the TRANSCRIBED USSA-1976 table (round 4): spot-pin
+        published digits and the internal hydrostatic consistency that
+        validates the transcription — in the standard's own geopotential-
+        height formulation the 0-20 km residual is < 3e-4 per layer."""
+        from sbdart_tpu.data.atmospheres import US76_TABLE
+
+        tab = {row[0]: (row[1], row[2]) for row in US76_TABLE}
+        assert tab[0.0] == (288.15, 1013.25)
+        assert tab[11.0] == (216.77, 226.99)
+        assert tab[20.0] == (216.65, 55.293)
+        assert tab[50.0] == (270.65, 0.79779)
+        z, t, p = US76_TABLE[:, 0], US76_TABLE[:, 1], US76_TABLE[:, 2]
+        g, molm, rgas, rearth = 9.80665, 28.9644e-3, 8.31446, 6356.766
+        # USSA-1976 is defined on GEOPOTENTIAL height with constant g0
+        h = z * rearth / (rearth + z)
+        sel = z <= 20.0
+        hi, ti, pi = h[sel], t[sel], p[sel]
+        for i in range(len(hi) - 1):
+            tbar = 0.5 * (ti[i] + ti[i + 1])
+            pred = pi[i] * np.exp(
+                -g * molm * (hi[i + 1] - hi[i]) * 1e3 / (rgas * tbar)
+            )
+            assert abs(pred - pi[i + 1]) / pi[i + 1] < 3e-4, i
+        # and the model atmosphere uses it verbatim
+        m = model_atmosphere(6)
+        assert m["p"][-1] == 1013.25 and m["t"][-1] == 288.15
+
     def test_columns_match_published(self):
         # published precipitable water / ozone columns (approximate targets)
         expect_w = {1: 4.12, 2: 2.92, 3: 0.85, 4: 2.09, 5: 0.42, 6: 1.42}
