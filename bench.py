@@ -55,7 +55,7 @@ def _timeit(fn, *args, n=4):
     return (time.perf_counter() - t0) / n
 
 
-def _throughput(nstr: int, nlyr: int, nbc: int, K: int = 8) -> float:
+def _throughput(nstr: int, nlyr: int, nbc: int, K: int = 32) -> float:
     """Chained flux solves; returns band-columns/s (x nk k-terms inside)."""
     import jax
     import jax.numpy as jnp
@@ -183,7 +183,7 @@ def _eig_lane_sol(nlyr=65, nstr=16, b=2048, K=8) -> float:
     return 100.0 * (flops / t / 1e12) / VPU_F32_TFLOPS
 
 
-def _radiance_throughput(nstr=16, nlyr=65, nbc=256, K=8) -> float:
+def _radiance_throughput(nstr=16, nlyr=65, nbc=256, K=16) -> float:
     """Full radiance solves (all Fourier modes + TMS/IMS) — the BASELINE
     config-4 shape: band-columns/s with a 5-zenith x 3-azimuth view grid.
 
