@@ -166,20 +166,13 @@ def _leigh_inline(a, sweeps: int):
     a, v = jax.lax.fori_loop(0, sweeps, one_sweep, (a, v0))
     w = jnp.stack([a[i, i] for i in range(n)], axis=0)
 
-    # ascending sort: branchless compare-swap network (no .at updates)
-    for i in range(n - 1):
-        for j in range(n - 1 - i):
-            wj, wk = w[j], w[j + 1]
-            swap = wj > wk
-            w_rows = [w[r] for r in range(n)]
-            w_rows[j] = jnp.where(swap, wk, wj)
-            w_rows[j + 1] = jnp.where(swap, wj, wk)
-            w = jnp.stack(w_rows, axis=0)
-            vj, vk = v[:, j], v[:, j + 1]
-            v_cols = [v[:, r] for r in range(n)]
-            v_cols[j] = jnp.where(swap[None, :], vk, vj)
-            v_cols[j + 1] = jnp.where(swap[None, :], vj, vk)
-            v = jnp.stack(v_cols, axis=1)
+    # NO eigenvalue sort (round 4): every consumer of the solver's
+    # homogeneous solutions — BVP block assembly, boundary sums, radiance
+    # source projections — sums over the eigenmode index j, so the
+    # (kk_j, G_j) pairing is all that matters and the O(n^2) compare-swap
+    # network that rebuilt w AND the v columns per stage was pure idle
+    # work (~1 Jacobi sweep's worth).  ops/lane.py:leigh keeps its sort:
+    # it is a general utility whose callers may expect eigh conventions.
     return w, v
 
 
@@ -373,11 +366,13 @@ def _eig_lane_call(cppl, cpml, *, mu_t, w_t, sweeps, tile_b, interpret):
 # Default Jacobi sweep count: measured on physics matrices at n=8 (incl.
 # near-conservative ssalb up to 1 - 1e-6): eigenvalue error and residual hit
 # the f32 floor by sweep 3 and are bit-stable from sweep 4 on.  Round 4
-# trims the round-3 default 6 -> 5 (one full sweep of margin over the
-# bit-stable point): trace-measured kernel time at the radiance shape
-# (n=8, 266k lanes) drops 12.2 -> 10.7 ms, and the fused-vs-lane
-# equivalence suites hold at their existing bars.
-DEFAULT_SWEEPS = 5
+# trims the round-3 default 6 -> 4 (the measured bit-stable point):
+# trace-measured kernel time at the radiance shape (n=8, 266k lanes)
+# drops 12.2 -> 9.3 ms, and the full accuracy battery (fused-vs-lane
+# equivalence at 5e-4, the f32-vs-f64 path bounds incl. the conservative
+# limit, and the adding-doubling suite) holds at its existing bars —
+# the "margin" sweeps 5-6 were provably idle work.
+DEFAULT_SWEEPS = 4
 
 
 def eig_chain_lane_fused(

@@ -141,6 +141,14 @@ def _rad_source_call(t1, t2, yu, c, y0d, gp, gm, kk, zp, zm, a, b,
     dtype = c.dtype
 
     tb = min(tile_b, max(128, lb))
+    # prefer a tile that divides LB exactly (LB = nlyr * columns often has
+    # a 128-multiple divisor, e.g. 65*256 = 128*130): padding 12 operands
+    # costs ~0.5 ms at the bench shape for nothing
+    if lb % tb:
+        for cand in range(tb, 127, -128):
+            if lb % cand == 0:
+                tb = cand
+                break
     pad = (-lb) % tb
     if pad:
         pad2 = [(0, 0), (0, pad)]
