@@ -186,6 +186,19 @@ def _eig_problem(nstr, nlyr, b, seed=3):
     return tab, ssalb, gl
 
 
+def _sorted_by_kk(e):
+    """Sort an EigResult's eigenpairs ascending in kk (the fused kernel
+    emits them unordered since round 4; consumers are order-invariant)."""
+    kk = np.asarray(e.kk)
+    gp = np.asarray(e.gp)
+    gm = np.asarray(e.gm)
+    order = np.argsort(kk, axis=-1)
+    kk_s = np.take_along_axis(kk, order, -1)
+    gp_s = np.take_along_axis(gp, order[..., None, :], -1)
+    gm_s = np.take_along_axis(gm, order[..., None, :], -1)
+    return kk_s, gp_s, gm_s
+
+
 @pytest.mark.parametrize("nstr,nlyr,b", [(4, 5, 7), (8, 3, 130), (16, 9, 13)])
 def test_eig_kernel_matches_lane(nstr, nlyr, b):
     """Fused Pallas eigensolve == XLA lane chain (interpret mode).
@@ -204,12 +217,14 @@ def test_eig_kernel_matches_lane(nstr, nlyr, b):
     e_lane = solve_eigen(*a32, tab, jnp.float32, eig_method="lane")
     e_pal = solve_eigen(*a32, tab, jnp.float32,
                         eig_method="pallas_interpret")
-    assert np.abs(np.asarray(e_lane.kk) - np.asarray(e_pal.kk)).max() < 5e-5
-    for name in ("gp", "gm"):
-        err = np.abs(
-            np.asarray(getattr(e_lane, name))
-            - np.asarray(getattr(e_pal, name))
-        ).max()
+    # the kernel emits UNORDERED eigenpairs (round 4: every consumer sums
+    # over the mode index, so the sort network was removed); normalize by
+    # sorting both sides on kk before the elementwise comparison
+    kk_l, gp_l, gm_l = _sorted_by_kk(e_lane)
+    kk_p, gp_p, gm_p = _sorted_by_kk(e_pal)
+    assert np.abs(kk_l - kk_p).max() < 5e-5
+    for name, a, bb in (("gp", gp_l, gp_p), ("gm", gm_l, gm_p)):
+        err = np.abs(a - bb).max()
         assert err < 1e-3, (name, err)
 
 
@@ -237,7 +252,9 @@ def test_eig_kernel_compiled_on_tpu(nstr, b):
     a32 = jnp.asarray(ssalb, jnp.float32), jnp.asarray(gl, jnp.float32)
     e_lane = solve_eigen(*a32, tab, jnp.float32, eig_method="lane")
     e_pal = solve_eigen(*a32, tab, jnp.float32, eig_method="pallas")
-    assert np.abs(np.asarray(e_lane.kk) - np.asarray(e_pal.kk)).max() < 5e-5
+    kk_l, _, _ = _sorted_by_kk(e_lane)
+    kk_p, _, _ = _sorted_by_kk(e_pal)
+    assert np.abs(kk_l - kk_p).max() < 5e-5
 
     nlyr = 33
     rng = np.random.default_rng(5)
