@@ -157,7 +157,8 @@ def test_f64_island_on_tpu():
 
     if jax.default_backend() not in ("tpu", "axon"):
         pytest.skip("no TPU backend")
-    with jax.experimental.enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
         d, s, p = _decks()["clear"]
         b = 8
         args = (jnp.asarray(np.tile(d, (b, 1)), jnp.float64),
@@ -175,3 +176,5 @@ def test_f64_island_on_tpu():
         absorbed = (out.rfldir + out.rfldn)[:, -1] * 0.8  # 1 - albedo
         balance = np.asarray(0.6 * 1.0 - (out.flup[:, 0] + absorbed))
         assert np.abs(balance).max() < 1e-3
+    finally:
+        jax.config.update("jax_enable_x64", False)
