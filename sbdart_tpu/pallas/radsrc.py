@@ -58,7 +58,7 @@ def _int_away(k, delta, u):
     return jnp.where(near, taylor, exact)
 
 
-def _kernel(u_vals, nstr, r1_ref, r2_ref, yu_ref, c_ref, y0d_ref, gp_ref,
+def _kernel(u_vals, nstr, t1_ref, t2_ref, yu_ref, c_ref, y0d_ref, gp_ref,
             gm_ref, kk_ref, zp_ref, zm_ref, a_ref, b_ref, dtau_ref,
             ebtop_ref, mu0_ref, scale_ref, j_ref):
     n = gp_ref.shape[1]
@@ -86,8 +86,8 @@ def _kernel(u_vals, nstr, r1_ref, r2_ref, yu_ref, c_ref, y0d_ref, gp_ref,
     e1 = None
     e2 = None
     for l in range(nstr):
-        t1_l = r1_ref[0, :, :, l]         # [U, N]
-        t2_l = r2_ref[0, :, :, l]
+        t1_l = t1_ref[0, :, :, l]         # [U, N]
+        t2_l = t2_ref[0, :, :, l]
         term1 = t1_l[:, :, None] * c[l][None, None, :]
         term2 = t2_l[:, :, None] * c[l][None, None, :]
         e1 = term1 if e1 is None else e1 + term1
