@@ -2,13 +2,22 @@
 
 PROVENANCE: the reference mount was empty during this build (SURVEY.md
 section 0), so the compiled-in DATA blocks of atms.f / taugas.f / taucloud.f /
-tauaero.f / spectra.f / salbedo.f could not be extracted.  Every table in
-this package is therefore REGENERATED from the same upstream physics the
-reference encodes (McClatchey-class model atmospheres, band-model gas
-absorption, Bohren–Huffman Mie theory, Shettle–Fenn-class aerosol models,
-standard solar spectra) with provenance notes per module.  Numeric values
-are physically consistent approximations, NOT bit-identical to SBDART's
-tables; the module interfaces are designed so the reference tables can be
-dropped in without code changes once the mount is populated (SURVEY.md
-section 8.6 checklist).
+tauaero.f / spectra.f / salbedo.f could not be extracted.  Tables that
+exist as widely published compilations are TRANSCRIBED with tests pinning
+published digits:
+
+  * solar_thekaekara.py — Thekaekara (1973) solar spectral irradiance
+    (integral matches the published 1353 W/m^2 solar constant to 0.1%);
+  * atmospheres.py:US76_TABLE — U.S. Standard Atmosphere 1976 z/T/p
+    (validated by the standard's own geopotential hydrostatic relation).
+
+Everything else is REGENERATED from the same upstream physics the
+reference encodes (McClatchey-class climatologies, Malkmus band-model gas
+absorption with published integrated intensities, Bohren–Huffman Mie
+theory, Shettle–Fenn-class aerosol models) with provenance notes per
+module and curve-of-growth / line-spacing bounds in the test suite.
+Numeric values are physically consistent approximations, NOT bit-identical
+to SBDART's tables; the module interfaces are designed so the reference
+tables can be dropped in without code changes once the mount is populated
+(SURVEY.md section 8.6 checklist).
 """
