@@ -186,6 +186,41 @@ def _eig_problem(nstr, nlyr, b, seed=3):
     return tab, ssalb, gl
 
 
+def test_eig_kernel_satisfies_eigen_relations():
+    """Order-independent invariants of the fused kernel's output: with
+    X_j = G+_j + G-_j and Y_j = G+_j - G-_j, the homogeneous solutions
+    satisfy (alpha-beta) X = -k Y and (alpha+beta) Y = -k X (so
+    (a+b)(a-b) X = k^2 X).  These hold for ANY eigenpair ordering — the
+    property the round-4 sort-network removal relies on."""
+    from sbdart_tpu.solver.eig import (
+        angular_tables, scattering_matrices, solve_eigen,
+    )
+    import jax.numpy as jnp
+
+    nstr, nlyr, b = 8, 5, 16
+    tab, ssalb, gl = _eig_problem(nstr, nlyr, b)
+    a32 = jnp.asarray(ssalb, jnp.float32), jnp.asarray(gl, jnp.float32)
+    e = solve_eigen(*a32, tab, jnp.float32, eig_method="pallas_interpret")
+    cpp, cpm = scattering_matrices(*a32, tab, jnp.float64)
+    n = nstr // 2
+    mu = tab.mu
+    w = tab.w
+    eye = np.eye(n)
+    amb = (1.0 / mu)[:, None] * (eye - np.asarray(cpp + cpm) * w)
+    apb = (1.0 / mu)[:, None] * (eye - np.asarray(cpp - cpm) * w)
+    x = np.asarray(e.gp, np.float64) + np.asarray(e.gm, np.float64)
+    y = np.asarray(e.gp, np.float64) - np.asarray(e.gm, np.float64)
+    kk = np.asarray(e.kk, np.float64)
+    r1 = np.einsum("...ik,...kj->...ij", amb, x) + kk[..., None, :] * y
+    r2 = np.einsum("...ik,...kj->...ij", apb, y) + kk[..., None, :] * x
+    # f32 kernel checked against f64 operators: residuals sit at the f32
+    # roundoff floor amplified by 1/mu and near-conservative conditioning
+    # (measured 2e-5 / 1.8e-4 relative); a real pairing bug is O(1)
+    scale = max(np.abs(x).max(), 1.0)
+    assert np.abs(r1).max() / scale < 5e-4, np.abs(r1).max()
+    assert np.abs(r2).max() / scale < 5e-4, np.abs(r2).max()
+
+
 def _sorted_by_kk(e):
     """Sort an EigResult's eigenpairs ascending in kk (the fused kernel
     emits them unordered since round 4; consumers are order-invariant)."""
