@@ -6,14 +6,18 @@ see SURVEY.md section 4.2) on one chip, batched over (band-columns x 3
 k-terms), nstr=4, 33 layers — the shape of BASELINE configs 1/5.
 
 Extras (BASELINE.json named metrics, recorded in the same JSON line):
-  nstr16_nlyr65_bc_per_s  throughput at the BASELINE config-3/4 shape
-                          (nstr=16, 65 layers, flux mode)
-  bvp_fused_sol_pct       bandwidth %SOL of the FUSED production BVP kernel
-                          (pallas/blocktri.py:block_thomas_rt — assembles
-                          SETMTX blocks on the fly; min traffic = eigen
-                          quantities in + solution out)
-  eig_lane_sol_pct        FLOP-model %SOL of the lane eigensolve stage
-                          (ops/lane.py leigh chain) against the VPU f32 peak
+  nstr16_nlyr65_bc_per_s    flux throughput at the BASELINE config-3 shape
+  nstr16_radiance_bc_per_s  full-radiance throughput (config-4 shape: all
+                            Fourier modes + TMS/IMS, 5x3 view grid)
+  measured_rooflines        per-kernel DEVICE times from a jax.profiler
+                            trace x exact HBM interface bytes parsed from
+                            the HLO signatures — the round-4 replacement
+                            for the hand models below (kept for history):
+  bvp_fused_sol_pct         bandwidth-model %SOL of the fused BVP kernel
+  eig_lane_sol_pct          FLOP-model %SOL of the eigensolve stage
+  collective_fraction_bound contention-free bound on the sharded
+                            pipeline's communication share
+                            (benchmarks/comm_fraction.py)
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
 
