@@ -30,5 +30,16 @@ def default_dtype() -> jnp.dtype:
     return jnp.dtype(jnp.float32)
 
 
+def on_tpu() -> bool:
+    """True when the default backend executes on TPU hardware.
+
+    Some PJRT plugins report a platform alias rather than 'tpu' (the
+    tunneled-TPU plugin used in CI reports 'axon'); both lower the Mosaic
+    kernel paths.  Every dispatch site gates on this one predicate so the
+    alias list lives in exactly one place.
+    """
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def finfo_eps(dtype) -> float:
     return float(jnp.finfo(dtype).eps)

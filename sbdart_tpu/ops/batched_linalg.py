@@ -122,8 +122,9 @@ def eigh_small(a: jnp.ndarray, method: str = "auto") -> tuple[jnp.ndarray, jnp.n
 
     n = a.shape[-1]
     if method == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        method = "lane" if (on_tpu and n <= 16) else "xla"
+        from sbdart_tpu.dtypes import on_tpu as _on_tpu
+
+        method = "lane" if (_on_tpu() and n <= 16) else "xla"
     if method == "lane":
         al, batch_shape = lane.to_lane(a)
         w, v = lane.leigh(al)
@@ -152,7 +153,9 @@ def gauss_solve(a: jnp.ndarray, b: jnp.ndarray, method: str = "auto") -> jnp.nda
 
     n = a.shape[-1]
     if method == "auto":
-        method = "lane" if (jax.default_backend() == "tpu" and n <= 48) else "xla"
+        from sbdart_tpu.dtypes import on_tpu as _on_tpu
+
+        method = "lane" if (_on_tpu() and n <= 48) else "xla"
     if method == "lane":
         al, batch_shape = lane.to_lane(a)
         bl, _ = lane.to_lane(b)
@@ -207,7 +210,9 @@ def cholesky_small(a: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
 
     n = a.shape[-1]
     if method == "auto":
-        method = "lane" if (jax.default_backend() == "tpu" and n <= 32) else "xla"
+        from sbdart_tpu.dtypes import on_tpu as _on_tpu
+
+        method = "lane" if (_on_tpu() and n <= 32) else "xla"
     if method == "lane":
         al, batch_shape = lane.to_lane(a)
         return lane.from_lane(lane.lcholesky(al), batch_shape)

@@ -130,6 +130,27 @@ def _kernel(u_vals, nstr, t1_ref, t2_ref, yu_ref, c_ref, y0d_ref, gp_ref,
     j_ref[0] = jnp.stack(rows, axis=0)    # [U, TB]
 
 
+def _lane_tile(lb: int, tile_b: int) -> int:
+    """128-aligned lane tile for a flat LB lane axis.
+
+    Mosaic rejects lane tiles that are not 128-aligned (the round-2 trap
+    blocktri.py:_tile_for_vmem documents), so round DOWN to a 128 multiple
+    before anything else — an LB in (128, tile_b) not itself a multiple of
+    128 (e.g. 32 layers x 9 band-columns = 288) must tile at 256 + pad,
+    never at LB itself.  Then prefer a tile that divides LB exactly
+    (LB = nlyr * columns often has a 128-multiple divisor, e.g. 65*256 =
+    128*130): padding 12 operands costs ~0.5 ms at the bench shape for
+    nothing.
+    """
+    tb = min(tile_b, max(128, (lb // 128) * 128))
+    if lb % tb:
+        for cand in range(tb, 127, -128):
+            if lb % cand == 0:
+                tb = cand
+                break
+    return tb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("u_vals", "tile_b", "interpret"),
@@ -140,15 +161,7 @@ def _rad_source_call(t1, t2, yu, c, y0d, gp, gm, kk, zp, zm, a, b,
     lb = c.shape[-1]
     dtype = c.dtype
 
-    tb = min(tile_b, max(128, lb))
-    # prefer a tile that divides LB exactly (LB = nlyr * columns often has
-    # a 128-multiple divisor, e.g. 65*256 = 128*130): padding 12 operands
-    # costs ~0.5 ms at the bench shape for nothing
-    if lb % tb:
-        for cand in range(tb, 127, -128):
-            if lb % cand == 0:
-                tb = cand
-                break
+    tb = _lane_tile(lb, tile_b)
     pad = (-lb) % tb
     if pad:
         pad2 = [(0, 0), (0, pad)]

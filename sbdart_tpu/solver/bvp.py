@@ -176,9 +176,9 @@ def solve_bvp(
     # hot path) never touch HBM.  Elsewhere: assemble + lax.scan fallback
     # (identical math).
     if method == "auto":
-        use_kernel = (
-            jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
-        )
+        from sbdart_tpu.dtypes import on_tpu
+
+        use_kernel = on_tpu() and jnp.dtype(dtype) == jnp.float32
         method = "kernel" if use_kernel else "scan"
     if method in ("kernel", "kernel_interpret"):
         from sbdart_tpu.pallas import block_thomas_rt

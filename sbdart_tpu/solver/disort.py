@@ -105,7 +105,9 @@ def solve_rte(
     # pinned by tests/test_pallas_kernels.py::test_fused_eig_beam_*.
     import jax as _jax
 
-    if eig_method == "fused" and _jax.default_backend() != "tpu":
+    from sbdart_tpu.dtypes import on_tpu as _on_tpu
+
+    if eig_method == "fused" and not _on_tpu():
         raise ValueError(
             "eig_method='fused' dispatches a Mosaic-compiled Pallas kernel "
             "that only lowers on TPU (current backend: "
@@ -120,7 +122,7 @@ def solve_rte(
         and jnp.dtype(dtype) == jnp.float32
     )
     if lane_ok and (
-        (eig_method == "auto" and _jax.default_backend() == "tpu")
+        (eig_method == "auto" and _on_tpu())
         or eig_method in ("fused", "fused_interpret")
     ):
         from sbdart_tpu.solver.fluxlane import solve_rte_flux_lane
@@ -151,7 +153,7 @@ def solve_rte(
         and jnp.dtype(dtype) == jnp.float32
     )
     if rad_lane_ok and (
-        (eig_method == "auto" and _jax.default_backend() == "tpu")
+        (eig_method == "auto" and _on_tpu())
         or eig_method in ("fused", "fused_interpret")
     ):
         from sbdart_tpu.solver.radlane import solve_rte_radiance_lane
@@ -191,15 +193,13 @@ def solve_rte(
     # lane layout on the MXU (solver/eig.py:solve_eigen_beam_fused) — the
     # dominant cost of the round-2 implementation was exactly these stages
     # round-tripping HBM.
-    import jax as _jax
-
     n_half = nstr // 2
     fused_shape_ok = (
         nmode == 1 and n_half <= 8 and n_half % 2 == 0
         and jnp.dtype(dtype) == jnp.float32
     )
     use_fused = fused_shape_ok and (
-        (eig_method == "auto" and _jax.default_backend() == "tpu")
+        (eig_method == "auto" and _on_tpu())
         or eig_method in ("fused", "fused_interpret")
     )
     if use_fused:

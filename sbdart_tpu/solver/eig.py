@@ -102,7 +102,9 @@ def solve_eigen(
     cpp, cpm = scattering_matrices(ssalb, gl, tab, dtype)
 
     if eig_method == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+        from sbdart_tpu.dtypes import on_tpu as _on_tpu
+
+        on_tpu = _on_tpu()
         # fused Pallas kernel: even reduced dimension (parallel Jacobi
         # schedule) and n <= 8 (constants are unrolled as scalar code —
         # n=8 covers every BASELINE config; bigger n falls back to lane)

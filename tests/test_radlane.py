@@ -116,6 +116,31 @@ def test_radlane_compiled_on_tpu_vs_generic():
 
 
 @pytest.mark.tpu
+def test_radlane_compiled_lb_between_128_and_tile():
+    """LB = nlyr*bc in (128, 512) and NOT a multiple of 128 (32 layers x 9
+    band-columns = 288): the radsrc lane-tile selection used to pick
+    tb = LB itself (unaligned) and fail Mosaic compilation.  Compiling and
+    matching the aligned-batch slice pins the fix (round-4 advisor item)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    args16, kw = _radiance_problem(8, 32, 16)      # LB = 512 (aligned)
+    o16 = solve_rte(*args16, eig_method="fused", **kw)
+    args9 = tuple(a[:9] for a in args16)           # LB = 288 (the trap)
+    kw9 = dict(kw)
+    for k in ("fbeam", "umu0", "albedo"):
+        kw9[k] = kw[k][:9]
+    o9 = solve_rte(*args9, eig_method="fused", **kw9)
+    for nm in FIELDS:
+        a = np.asarray(getattr(o9, nm))
+        b = np.asarray(getattr(o16, nm))[:9]
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert err < 1e-6, (nm, err)
+        assert np.isfinite(a).all(), nm
+
+
+@pytest.mark.tpu
 def test_radlane_compiled_unaligned_batch_consistent():
     """Production shape (nstr=16, 65 layers) at an UNALIGNED batch (130 —
     the round-2 Mosaic tile trap): the compiled kernels pad lanes

@@ -99,6 +99,25 @@ def test_rad_source_kernel_matches_numpy():
     assert err < 1e-5, err
 
 
+def test_lane_tile_always_128_aligned():
+    """Every chosen lane tile must be a multiple of 128 (Mosaic rejects
+    unaligned lane tiles — the round-2 trap).  LB in (128, tile_b) not a
+    multiple of 128 (e.g. 288 = 32 layers x 9 band-columns) used to select
+    tb = LB itself and fail to compile."""
+    from sbdart_tpu.pallas.radsrc import _lane_tile
+
+    for lb in (1, 64, 128, 130, 256, 288, 511, 512, 520, 4224, 8450, 16640):
+        for tile_b in (128, 512, 2048):
+            tb = _lane_tile(lb, tile_b)
+            assert tb % 128 == 0, (lb, tile_b, tb)
+            assert tb >= 128
+            assert tb <= max(tile_b, 128)
+    # divisor preference still holds where one exists
+    assert _lane_tile(65 * 256, 512) == 256      # 16640 = 130 * 128 -> 256
+    assert 65 * 256 % _lane_tile(65 * 256, 512) == 0
+    assert 65 * 128 % _lane_tile(65 * 128, 512) == 0
+
+
 def test_rad_source_kernel_pads_unaligned_lanes():
     """LB not a multiple of 128: the kernel pads internally and the result
     matches a direct run on the padded-free slice."""
