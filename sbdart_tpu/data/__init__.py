@@ -9,7 +9,12 @@ published digits:
   * solar_thekaekara.py — Thekaekara (1973) solar spectral irradiance
     (integral matches the published 1353 W/m^2 solar constant to 0.1%);
   * atmospheres.py:US76_TABLE — U.S. Standard Atmosphere 1976 z/T/p
-    (validated by the standard's own geopotential hydrostatic relation).
+    (validated by the standard's own geopotential hydrostatic relation);
+  * atmospheres.py:MCCLATCHEY_TABLES (round 5) — the five McClatchey et
+    al. (1972) model atmospheres (z/p/T/rho_H2O/rho_O3, 33 levels),
+    validated per layer by hydrostatic closure (< 0.8% below 50 km) and
+    by published column amounts (water < 2%, ozone < 8% — confidence
+    notes in the module docstring).
 
 Everything else is REGENERATED from the same upstream physics the
 reference encodes (McClatchey-class climatologies, Malkmus band-model gas

@@ -59,14 +59,71 @@ class TestAtmospheres:
         m = model_atmosphere(6)
         assert m["p"][-1] == 1013.25 and m["t"][-1] == 288.15
 
+    def test_mcclatchey_transcribed_tables(self):
+        """idatm=1..5 are TRANSCRIBED McClatchey et al. (1972) tables
+        (round 5).  Two transcription self-checks:
+
+        1. hydrostatic closure of every layer below 50 km on geometric
+           altitude with g(z) — the 3-significant-digit pressures close to
+           < 0.8% per layer (a fabricated or misremembered p/T pair would
+           not);
+        2. spot-pins of the published surface / tropopause digits.
+        """
+        from sbdart_tpu.data.atmospheres import MCCLATCHEY_TABLES, Z33
+
+        g0, molm, rgas, rearth = 9.80665, 28.9644e-3, 8.31446, 6356.766
+        for idatm, tab in MCCLATCHEY_TABLES.items():
+            p, t = tab[:, 0], tab[:, 1]
+            for i in range(len(Z33) - 1):
+                if Z33[i + 1] > 50.0:
+                    break
+                zf = np.linspace(Z33[i], Z33[i + 1], 201)
+                tf = np.interp(zf, [Z33[i], Z33[i + 1]], [t[i], t[i + 1]])
+                gf = g0 * (1.0 + zf / rearth) ** -2
+                integ = np.trapezoid(gf * molm / (rgas * tf), zf * 1e3)
+                pred = p[i] * np.exp(-integ)
+                rel = abs(pred - p[i + 1]) / p[i + 1]
+                assert rel < 8e-3, (idatm, Z33[i + 1], rel)
+        # published surface digits (p [mb], T [K], wv [g/m^3])
+        surf = {1: (1013.0, 300.0, 19.0), 2: (1013.0, 294.0, 14.0),
+                3: (1018.0, 272.2, 3.5), 4: (1010.0, 287.0, 9.1),
+                5: (1013.0, 257.1, 1.2)}
+        for idatm, (ps, ts, ws) in surf.items():
+            tab = MCCLATCHEY_TABLES[idatm]
+            assert tab[0, 0] == ps and tab[0, 1] == ts and tab[0, 2] == ws
+        # tropical tropopause: T minimum 195 K at 17 km
+        trop = MCCLATCHEY_TABLES[1]
+        assert trop[17, 1] == 195.0 and trop[:, 1].min() == 195.0
+
     def test_columns_match_published(self):
-        # published precipitable water / ozone columns (approximate targets)
+        # published precipitable water / ozone columns.  Water closes to
+        # < 3%; ozone to < 8% (2-significant-digit transcribed densities +
+        # coarse-grid trapezoid bias — see data/atmospheres.py provenance)
         expect_w = {1: 4.12, 2: 2.92, 3: 0.85, 4: 2.09, 5: 0.42, 6: 1.42}
         expect_o3 = {1: 0.247, 2: 0.331, 3: 0.376, 4: 0.344, 5: 0.480, 6: 0.349}
         for idatm in range(1, 7):
             p = build_profile(Config(idatm=idatm))
-            np.testing.assert_allclose(p.column_h2o(), expect_w[idatm], rtol=0.05)
-            np.testing.assert_allclose(p.column_o3(), expect_o3[idatm], rtol=0.05)
+            np.testing.assert_allclose(p.column_h2o(), expect_w[idatm], rtol=0.03)
+            np.testing.assert_allclose(p.column_o3(), expect_o3[idatm], rtol=0.08)
+
+    def test_user_profile_ozone_amount(self):
+        """A user atms.dat profile's ozone amount in atm-cm uses the true
+        ozone STP density (48 g/mol / 22414 cm^3/mol = 2.1415e-3 g/cm^3).
+        Through round 4 the constant was 10x too large — harmless for the
+        built-in models (normalized through the same constant) but it made
+        user-profile ozone columns 10x too small."""
+        from sbdart_tpu.atmosphere import user_profile_from_array
+
+        # two-level column: 1 km thick, constant 5e-4 g/m^3 ozone
+        # -> 5e-4 g/m^3 * 1000 m = 0.5 g/m^2 = 5e-5 g/cm^2
+        # -> / 2.1415e-3 g/cm^3 = 2.335e-2 atm-cm
+        data = np.array([
+            [0.0, 1013.0, 288.0, 1.0, 5e-4],
+            [1.0, 900.0, 281.0, 0.8, 5e-4],
+        ])
+        prof = user_profile_from_array(data)
+        np.testing.assert_allclose(prof.column_o3(), 5e-5 / 2.1415e-3,
+                                   rtol=1e-10)
 
     def test_uw_uo3_scaling(self):
         p = build_profile(Config(idatm=2, uw=1.0, uo3=0.25))
