@@ -214,6 +214,22 @@ def block_thomas(
 #                                          bottom rows: [R@(gm*e), R@gp])
 #   lower_l = -[[gm_{l-1}*e, gp_{l-1}], [0, 0]]          (l >= 1)
 #   upper_l = -[[0, 0], [gp_{l+1},     gm_{l+1}*e]]      (l <= L-2)
+#
+# RANK-N FACTOR STORAGE (round 5): the Thomas elimination factor
+# W_l = dt_l^-1 @ upper_l has rank <= N because upper_l's only nonzero
+# rows are its bottom N:  upper_l = [[0], [ub_l]] with ub_l [N, 2N], so
+#
+#     W_l = C_l @ ub_l,   C_l = dt_l^-1[:, N:]   ([2N, N]).
+#
+# The kernel therefore never forms W: the forward pass solves for the N
+# columns C (identity RHS rows N..2N-1) instead of the 2N columns of W —
+# shrinking the _solve_step augmented width from 4N+1 to 3N+1 — and stores
+# C (+ y), HALVING the factor history the backward pass streams; the
+# backward pass reconstructs ub_l from gp/gm/ee at layer l+1 (already
+# resident) and applies x_l = y_l - C_l (ub_l x_{l+1}) as two skinny
+# matvecs.  The forward correction lower @ W_prev becomes
+# (lt @ C_prev) @ ub_prev — same flops, ub_prev built from the CURRENT
+# layer's mats (ub_{l-1} couples layer l-1 to l).
 
 
 def _mm(a, b):
@@ -221,8 +237,20 @@ def _mm(a, b):
     return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
 
 
+def _eye_bottom(m, n, like_row):
+    """[m, n, TB] whose rows N..2N-1 form I_N (columns of dt^-1 to solve
+    for); built from ones_like so Mosaic sees no captured constant."""
+    one = jnp.ones_like(like_row)
+    zero = jnp.zeros_like(like_row)
+    return jnp.stack(
+        [jnp.stack([one if i == (m - n) + j else zero for j in range(n)],
+                   axis=0)
+         for i in range(m)], axis=0,
+    )
+
+
 def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
-               xs_ref, ws_ref, ys_ref):
+               xs_ref, cs_ref, ys_ref):
     nlyr, n, _, tb = gp_ref.shape
     m = 2 * n
     dtype = gp_ref.dtype
@@ -235,8 +263,10 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
         gme = gml * eel[None, :, :]
         return gpl, gml, gpe, gme
 
+    eyeb = _eye_bottom(m, n, gp_ref[0][0, 0])   # [2N, N, TB]
+
     def fwd(l, carry):
-        w_prev, y_prev = carry
+        c_prev, y_prev = carry
         gpl, gml, gpe, gme = layer_mats(l)
 
         # ---- diagonal block ------------------------------------------------
@@ -255,8 +285,10 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
         has_low = jnp.where(l > 0, jnp.ones((), dtype), jnp.zeros((), dtype))
         lt = -has_low * jnp.concatenate([gmem, gpm], axis=1)   # [N, 2N, TB]
 
-        # dt = diag - lower @ w_prev ; lower nonzero only in top rows
-        corr_top = _mm(lt, w_prev)                         # [N, 2N, TB]
+        # dt = diag - lower @ W_prev with W_prev = C_prev @ ub_prev;
+        # ub_prev (layer l-1 -> l coupling) uses THIS layer's mats
+        ub_prev = -jnp.concatenate([gpl, gme], axis=1)     # [N, 2N, TB]
+        corr_top = _mm(_mm(lt, c_prev), ub_prev)           # [N, 2N, TB]
         dt = diag_l - jnp.concatenate(
             [corr_top, jnp.zeros_like(corr_top)], axis=0
         )
@@ -264,26 +296,18 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
         corr_r = jnp.sum(lt * y_prev[None, :, :], axis=1)  # [N, TB]
         rt = r_l - jnp.concatenate([corr_r, jnp.zeros_like(corr_r)], axis=0)
 
-        # ---- upper block (bottom rows only, from layer l+1) ----------------
-        lp1 = jnp.minimum(l + 1, nlyr - 1)
-        gpp, gmp, gpep, gmep = layer_mats(lp1)
-        has_up = jnp.where(l < nlyr - 1, jnp.ones((), dtype),
-                           jnp.zeros((), dtype))
-        ub = -has_up * jnp.concatenate([gpp, gmep], axis=1)    # [N, 2N, TB]
-        upper_l = jnp.concatenate([jnp.zeros_like(ub), ub], axis=0)
-
         sol = _solve_step(dt, jnp.concatenate(
-            [upper_l, rt[:, None, :]], axis=1))
-        w_l = sol[:, :m]
-        y_l = sol[:, m]
-        ws_ref[pl.ds(l, 1)] = w_l.reshape(m * m, tb)[None]
+            [eyeb, rt[:, None, :]], axis=1))               # [2N, N+1, TB]
+        c_l = sol[:, :n]                                   # [2N, N, TB]
+        y_l = sol[:, n]
+        cs_ref[pl.ds(l, 1)] = c_l.reshape(m * n, tb)[None]
         ys_ref[pl.ds(l, 1)] = y_l[None]
-        return (w_l, y_l)
+        return (c_l, y_l)
 
-    w0 = jnp.zeros((m, m, tb), dtype)
+    c0 = jnp.zeros((m, n, tb), dtype)
     y0 = jnp.zeros((m, tb), dtype)
-    w_last, y_last = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(nlyr), fwd, (w0, y0)
+    c_last, y_last = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nlyr), fwd, (c0, y0)
     )
 
     xs_ref[nlyr - 1] = y_last
@@ -291,8 +315,13 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
     def bwd(i, x_next):
         l = jnp.int32(nlyr - 2) - i
         y_l = ys_ref[pl.ds(l, 1)][0]
-        w_l = ws_ref[pl.ds(l, 1)][0].reshape(m, m, tb)
-        x_l = y_l - jnp.sum(w_l * x_next[None, :, :], axis=1)
+        c_l = cs_ref[pl.ds(l, 1)][0].reshape(m, n, tb)
+        gpp = gp_ref[pl.ds(l + 1, 1)][0]
+        gmp = gm_ref[pl.ds(l + 1, 1)][0]
+        eep = ee_ref[pl.ds(l + 1, 1)][0]
+        ub = -jnp.concatenate([gpp, gmp * eep[None, :, :]], axis=1)
+        z = jnp.sum(ub * x_next[None, :, :], axis=1)       # [N, TB]
+        x_l = y_l - jnp.sum(c_l * z[None, :, :], axis=1)   # [2N, TB]
         xs_ref[pl.ds(l, 1)] = x_l[None]
         return x_l
 
@@ -304,17 +333,20 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
 # working set exceeds VMEM (e.g. nstr=16 x 65 layers: the single-pass kernel
 # needs ~19 MB/128 lanes > the 16 MB scoped-vmem limit).  The forward
 # elimination runs as a SEQUENTIAL grid over layer chunks, carrying
-# (w_prev, y_prev, previous layer's gp/gm/ee) in VMEM scratch across grid
-# steps and writing the W/y history to HBM as chunked outputs; the backward
-# substitution is a second kernel streaming that history in reverse.  HBM
-# traffic grows from [inputs + xs] to [inputs + 2x history + xs] — still
-# ~2.5x less than materializing the assembled blocks.
+# (C_prev, y_prev, previous layer's gp/gm/ee) in VMEM scratch across grid
+# steps and writing the rank-N C/y factor history to HBM as chunked
+# outputs; the backward substitution is a second kernel streaming that
+# history in reverse plus a re-read of gp/gm/ee (to rebuild ub_l).  HBM
+# traffic is [inputs + 2x rank-N history + gp/gm/ee re-read + xs] —
+# vs round 4's full-W history this trades m*m*L of W write+read for
+# m*n*L write+read plus (2n^2+n)*L re-read: a ~30% total-traffic cut at
+# n=8, and the fwd solve width shrinks from 4N+1 to 3N+1 columns.
 # --------------------------------------------------------------------------
 
 
 def _rt_fwd_chunk_kernel(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
-                         rhs_ref, ws_ref, ys_ref,
-                         wcar, ycar, gpcar, gmcar, eecar):
+                         rhs_ref, cs_ref, ys_ref,
+                         ccar, ycar, gpcar, gmcar, eecar):
     n = gp_ref.shape[1]
     m = 2 * n
     tb = gp_ref.shape[-1]
@@ -323,7 +355,7 @@ def _rt_fwd_chunk_kernel(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
 
     @pl.when(c == 0)
     def _init():
-        wcar[...] = jnp.zeros((m, m, tb), dtype)
+        ccar[...] = jnp.zeros((m, n, tb), dtype)
         ycar[...] = jnp.zeros((m, tb), dtype)
         gpcar[...] = jnp.zeros((n, n, tb), dtype)
         gmcar[...] = jnp.zeros((n, n, tb), dtype)
@@ -335,8 +367,10 @@ def _rt_fwd_chunk_kernel(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
         eel = ee_ref[pl.ds(l, 1)][0]
         return gpl, gml, gpl * eel[None, :, :], gml * eel[None, :, :]
 
+    eyeb = _eye_bottom(m, n, gp_ref[0][0, 0])
+
     def fwd(l, carry):
-        w_prev, y_prev, gp_pm, gm_pm, ee_pm = carry
+        c_prev, y_prev, gp_pm, gm_pm, ee_pm = carry
         gl = c * lc + l                       # global layer index
         gpl, gml, gpe, gme = layer_mats(l)
 
@@ -363,7 +397,11 @@ def _rt_fwd_chunk_kernel(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
         has_low = jnp.where(gl > 0, jnp.ones((), dtype), jnp.zeros((), dtype))
         lt = -has_low * jnp.concatenate([gmem, gpm], axis=1)
 
-        corr_top = _mm(lt, w_prev)
+        # rank-N correction: lower @ W_prev = (lt @ C_prev) @ ub_prev,
+        # with ub_prev (layer gl-1 -> gl coupling) from THIS layer's mats —
+        # always in-chunk, so no halo read in the forward pass
+        ub_prev = -jnp.concatenate([gpl, gme], axis=1)
+        corr_top = _mm(_mm(lt, c_prev), ub_prev)
         dt = diag_l - jnp.concatenate(
             [corr_top, jnp.zeros_like(corr_top)], axis=0
         )
@@ -371,50 +409,39 @@ def _rt_fwd_chunk_kernel(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
         corr_r = jnp.sum(lt * y_prev[None, :, :], axis=1)
         rt = r_l - jnp.concatenate([corr_r, jnp.zeros_like(corr_r)], axis=0)
 
-        # upper block from layer gl+1; padded layers have gp=0, ee=0 so the
-        # chunk-local read at min(l+1, lc-1) is only wrong when gl+1 crosses
-        # a chunk edge — handle by computing the upper from NEXT layer mats:
-        # cross-edge reads are impossible in-kernel, so the chunk size must
-        # satisfy: upper needs layer l+1 which lives in this chunk unless
-        # l == lc-1; for l == lc-1 the next layer is the NEXT chunk's first.
-        # We sidestep it by writing W for layer gl from the NEXT iteration's
-        # perspective instead: here we only need upper_l NOW, so the caller
-        # pads the chunk axis with a one-layer halo: gp/gm/ee refs carry
-        # lc + 1 layers (layers [c*lc, c*lc + lc]), making l+1 always valid.
-        lp1 = l + 1
-        gpp = gp_ref[pl.ds(lp1, 1)][0]
-        gmp = gm_ref[pl.ds(lp1, 1)][0]
-        eep = ee_ref[pl.ds(lp1, 1)][0]
-        has_up = jnp.where(gl < nlyr_real - 1, jnp.ones((), dtype),
-                           jnp.zeros((), dtype))
-        ub = -has_up * jnp.concatenate(
-            [gpp, gmp * eep[None, :, :]], axis=1
-        )
-        upper_l = jnp.concatenate([jnp.zeros_like(ub), ub], axis=0)
-
         sol = _solve_step(dt, jnp.concatenate(
-            [upper_l, rt[:, None, :]], axis=1))
-        w_l = sol[:, :m]
-        y_l = sol[:, m]
-        ws_ref[pl.ds(l, 1)] = w_l.reshape(m * m, tb)[None]
+            [eyeb, rt[:, None, :]], axis=1))
+        c_l = sol[:, :n]
+        y_l = sol[:, n]
+        cs_ref[pl.ds(l, 1)] = c_l.reshape(m * n, tb)[None]
         ys_ref[pl.ds(l, 1)] = y_l[None]
-        return (w_l, y_l, gpl, gml, ee_ref[pl.ds(l, 1)][0])
+        return (c_l, y_l, gpl, gml, ee_ref[pl.ds(l, 1)][0])
 
-    carry0 = (wcar[...], ycar[...], gpcar[...], gmcar[...], eecar[...])
-    w_l, y_l, gpl, gml, eel = jax.lax.fori_loop(
+    carry0 = (ccar[...], ycar[...], gpcar[...], gmcar[...], eecar[...])
+    c_l, y_l, gpl, gml, eel = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(lc), fwd, carry0
     )
-    wcar[...] = w_l
+    ccar[...] = c_l
     ycar[...] = y_l
     gpcar[...] = gpl
     gmcar[...] = gml
     eecar[...] = eel
 
 
-def _rt_bwd_chunk_kernel(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
-    tb = ws_ref.shape[-1]
-    m = xs_ref.shape[1]
-    dtype = ws_ref.dtype
+def _rt_bwd_chunk_kernel(nchunks, lc, gp_ref, gm_ref, ee_ref,
+                         cs_ref, ys_ref, xs_ref, xcar):
+    """Backward substitution, streaming the rank-N factors in reverse.
+
+    x_l = y_l - C_l (ub_l x_{l+1}) with ub_l rebuilt from gp/gm/ee at
+    layer l+1 — the one-layer halo (the caller feeds lc+1 layers per
+    chunk) makes l+1 always in-chunk; the global last layer's halo row is
+    zero, so its ub (and hence the correction) vanishes, as does every
+    padded layer's (gp = 0, ee = 0).
+    """
+    n = gp_ref.shape[1]
+    m = 2 * n
+    tb = cs_ref.shape[-1]
+    dtype = cs_ref.dtype
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -425,10 +452,13 @@ def _rt_bwd_chunk_kernel(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
     def bwd(i, x_next):
         l = jnp.int32(lc - 1) - i
         y_l = ys_ref[pl.ds(l, 1)][0]
-        w_l = ws_ref[pl.ds(l, 1)][0].reshape(m, m, tb)
-        # the global last layer has no next-layer coupling: its stored W is
-        # zero (upper was masked), so the generic update is safe everywhere
-        x_l = y_l - jnp.sum(w_l * x_next[None, :, :], axis=1)
+        c_l = cs_ref[pl.ds(l, 1)][0].reshape(m, n, tb)
+        gpp = gp_ref[pl.ds(l + 1, 1)][0]
+        gmp = gm_ref[pl.ds(l + 1, 1)][0]
+        eep = ee_ref[pl.ds(l + 1, 1)][0]
+        ub = -jnp.concatenate([gpp, gmp * eep[None, :, :]], axis=1)
+        z = jnp.sum(ub * x_next[None, :, :], axis=1)
+        x_l = y_l - jnp.sum(c_l * z[None, :, :], axis=1)
         xs_ref[pl.ds(l, 1)] = x_l[None]
         return x_l
 
@@ -437,11 +467,15 @@ def _rt_bwd_chunk_kernel(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
 
 
 def _chunk_floats(lc: int, n: int, m: int) -> int:
-    """Per-lane f32 working set of one streamed chunk (fwd kernel)."""
-    return (
-        (lc + 1) * (2 * n * n + n) + lc * (2 * m + m * m + m) + n * n
-        + (m * m + m) + (2 * n * n + n)
-    )
+    """Per-lane f32 working set of one streamed chunk (max of fwd/bwd).
+
+    fwd: gp/gm/ee halo chunk + rhs + cs/ys out + refl + carries;
+    bwd: gp/gm/ee halo chunk + cs/ys in + xs out + xcar.
+    """
+    halo = (lc + 1) * (2 * n * n + n)
+    fwd = halo + lc * (2 * m + m * n) + n * n + (m * n + m) + (2 * n * n + n)
+    bwd = halo + lc * (2 * m + m * n) + m
+    return max(fwd, bwd)
 
 
 def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
@@ -531,25 +565,33 @@ def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
         (n, n, tb), lambda i, c: (0, 0, i), memory_space=pltpu.VMEM
     )
 
+    def rev(x):
+        blk = (1,) + x.shape[1:-1] + (tb,)
+        nd = x.ndim
+        return pl.BlockSpec(
+            blk, lambda i, c, nd=nd: (nchunks - 1 - c,) + (0,) * (nd - 2) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
     with jax.enable_x64(False):
-        ws, ys = pl.pallas_call(
+        cs, ys = pl.pallas_call(
             functools.partial(_fwd_chunk_squeeze, nlyr, lc),
             grid=grid,
             in_specs=[cspec(gp_c), cspec(gm_c), cspec(ee_c), refl_spec,
                       cspec(rhs_c)],
             out_specs=[
-                pl.BlockSpec((1, lc, m * m, tb),
+                pl.BlockSpec((1, lc, m * n, tb),
                              lambda i, c: (c, 0, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, lc, m, tb), lambda i, c: (c, 0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nchunks, lc, m * m, b_pad), dtype),
+                jax.ShapeDtypeStruct((nchunks, lc, m * n, b_pad), dtype),
                 jax.ShapeDtypeStruct((nchunks, lc, m, b_pad), dtype),
             ],
             scratch_shapes=[
-                pltpu.VMEM((m, m, tb), dtype), pltpu.VMEM((m, tb), dtype),
+                pltpu.VMEM((m, n, tb), dtype), pltpu.VMEM((m, tb), dtype),
                 pltpu.VMEM((n, n, tb), dtype), pltpu.VMEM((n, n, tb), dtype),
                 pltpu.VMEM((n, tb), dtype),
             ],
@@ -560,12 +602,7 @@ def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
             functools.partial(_bwd_chunk_squeeze, nchunks, lc),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, lc, m * m, tb),
-                             lambda i, c: (nchunks - 1 - c, 0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lc, m, tb),
-                             lambda i, c: (nchunks - 1 - c, 0, 0, i),
-                             memory_space=pltpu.VMEM),
+                rev(gp_c), rev(gm_c), rev(ee_c), rev(cs), rev(ys),
             ],
             out_specs=pl.BlockSpec(
                 (1, lc, m, tb), lambda i, c: (nchunks - 1 - c, 0, 0, i),
@@ -574,24 +611,26 @@ def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
             out_shape=jax.ShapeDtypeStruct((nchunks, lc, m, b_pad), dtype),
             scratch_shapes=[pltpu.VMEM((m, tb), dtype)],
             interpret=interpret,
-        )(ws, ys)
+        )(gp_c, gm_c, ee_c, cs, ys)
 
     xs = xs.reshape(lfull, m, b_pad)[:nlyr]
     return xs[..., :b] if pad else xs
 
 
 def _fwd_chunk_squeeze(nlyr_real, lc, gp_ref, gm_ref, ee_ref, refl_ref,
-                       rhs_ref, ws_ref, ys_ref, *scratch):
+                       rhs_ref, cs_ref, ys_ref, *scratch):
     _rt_fwd_chunk_kernel(
         nlyr_real, lc,
         gp_ref.at[0], gm_ref.at[0], ee_ref.at[0], refl_ref,
-        rhs_ref.at[0], ws_ref.at[0], ys_ref.at[0], *scratch,
+        rhs_ref.at[0], cs_ref.at[0], ys_ref.at[0], *scratch,
     )
 
 
-def _bwd_chunk_squeeze(nchunks, lc, ws_ref, ys_ref, xs_ref, xcar):
+def _bwd_chunk_squeeze(nchunks, lc, gp_ref, gm_ref, ee_ref, cs_ref, ys_ref,
+                       xs_ref, xcar):
     _rt_bwd_chunk_kernel(
-        nchunks, lc, ws_ref.at[0], ys_ref.at[0], xs_ref.at[0], xcar
+        nchunks, lc, gp_ref.at[0], gm_ref.at[0], ee_ref.at[0],
+        cs_ref.at[0], ys_ref.at[0], xs_ref.at[0], xcar
     )
 
 
@@ -611,8 +650,9 @@ def block_thomas_rt(
     m = 2 * n
     dtype = gp.dtype
 
-    # per-lane f32 working set: gp+gm+ee+rhs+refl inputs, xs out, ws/ys scratch
-    floats = nlyr * (4 * n * n + 2 * n + 2 * 2 * m + m * m) + 2 * n * n
+    # per-lane f32 working set: gp+gm+ee (2n^2+n) + rhs/xs/ys (3m) + the
+    # rank-N factor history cs (m*n) per layer, + refl and temporaries
+    floats = nlyr * (4 * n * n + 2 * n + 2 * 2 * m + m * n) + 2 * n * n
     tb = _tile_for_vmem(floats, min(tile_b, max(128, b)))
     if tb == 0:
         # whole-column working set exceeds VMEM (e.g. nstr=16 x 65 layers):
@@ -656,7 +696,7 @@ def block_thomas_rt(
             out_specs=spec(rhs),
             out_shape=jax.ShapeDtypeStruct((nlyr, m, b_pad), dtype),
             scratch_shapes=[
-                pltpu.VMEM((nlyr, m * m, tb), dtype),
+                pltpu.VMEM((nlyr, m * n, tb), dtype),
                 pltpu.VMEM((nlyr, m, tb), dtype),
             ],
             interpret=interpret,

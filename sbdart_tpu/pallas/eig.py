@@ -138,20 +138,32 @@ def _leigh_inline(a, sweeps: int):
     def one_sweep(_, av):
         a, v = av
         for pairs, partner, sgn, pair_of in tables:
-            app = jnp.stack([a[p, p] for p, _ in pairs], 0)    # [n/2, TB]
-            aqq = jnp.stack([a[q, q] for _, q in pairs], 0)
-            apq = jnp.stack([a[p, q] for p, q in pairs], 0)
-            small = jnp.abs(apq) <= eps * jnp.maximum(
-                jnp.abs(app) + jnp.abs(aqq), eps
+            # FULL-SUBLANE pair math (round 5): rotation parameters are
+            # computed per ROW at [n, TB] instead of per pair at [n/2, TB]
+            # (half the sublanes idle) followed by two gathers back to row
+            # space.  For row i with partner j, the row form
+            #     tau_row[i] = -sgn[i] (d[j] - d[i]) / (2 a[i, j])
+            # equals the PAIR's tau on BOTH rows (sgn[p] = -1, sgn[q] = +1
+            # flip the difference's sign consistently; a[i, j] = a[j, i] by
+            # symmetry), so cos comes out row-replicated and sin row-signed
+            # exactly as the old gather produced them — same rotations,
+            # no [n/2, TB] intermediates, no c/s gathers.
+            d = jnp.stack([a[i, i] for i in range(n)], axis=0)       # [n, TB]
+            off = jnp.stack(
+                [a[i, int(partner[i])] for i in range(n)], axis=0
             )
-            tau = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
+            d_prm = _static_gather_rows(d, partner)
+            small = jnp.abs(off) <= eps * jnp.maximum(
+                jnp.abs(d) + jnp.abs(d_prm), eps
+            )
+            tau = _scale_rows(d_prm - d, -sgn) / (
+                2.0 * jnp.where(small, 1.0, off)
+            )
             tsgn = jnp.where(tau >= 0.0, 1.0, -1.0)
             t = tsgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
             t = jnp.where(small, 0.0, t)
-            c = 1.0 / jnp.sqrt(1.0 + t * t)
-            s = t * c
-            crow = _static_gather_rows(c, pair_of)             # [n, TB]
-            srow = _scale_rows(_static_gather_rows(s, pair_of), sgn)
+            crow = 1.0 / jnp.sqrt(1.0 + t * t)
+            srow = _scale_rows(t * crow, sgn)
             # whole-matrix rotation passes: measured FASTER than unrolled
             # per-row fused multiply-adds (55 vs 65 ms at n=8, B=400k) —
             # Mosaic schedules the big uniform ops better than 8 small ones
@@ -467,6 +479,107 @@ def eig_beam_chain_lane_fused(
     if tile_b is None:
         tile_b = 2048 if cppl.shape[0] <= 2 else 256
     return _eig_beam_call(
+        cppl, cpml, r1, r2, mu0,
+        mu_t=tuple(float(x) for x in np.asarray(mu)),
+        w_t=tuple(float(x) for x in np.asarray(w)),
+        sweeps=sweeps, tile_b=tile_b, interpret=interpret,
+    )
+
+
+# --------------------------------------------------------------------------
+# Layered variant: same fused eig+beam chain, but operands/results carry the
+# layer axis LEADING ([L, ..., B] — the exact layout the block-Thomas BVP
+# kernel consumes) with a 2-D (layer, lane-tile) grid.  Round 5: the flux
+# lane pipeline previously ran the kernel on a flat [*, L*B] lane axis and
+# paid a leading-axis transpose of every [N, N] eigen tensor between the
+# eig and BVP kernels (measured 27% of the nstr=4 primary path's device
+# time was glue); emitting the BVP layout directly removes that copy.
+# --------------------------------------------------------------------------
+
+
+def _beam_kernel_squeeze(mu, w, sweeps, cpp_ref, cpm_ref, r1_ref, r2_ref,
+                         mu0_ref, kk_ref, gp_ref, gm_ref, zp_ref, zm_ref):
+    _kernel_beam(
+        mu, w, sweeps,
+        cpp_ref.at[0], cpm_ref.at[0], r1_ref.at[0], r2_ref.at[0], mu0_ref,
+        kk_ref.at[0], gp_ref.at[0], gm_ref.at[0], zp_ref.at[0], zm_ref.at[0],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu_t", "w_t", "sweeps", "tile_b", "interpret")
+)
+def _eig_beam_call_layered(cppl, cpml, r1, r2, mu0, *, mu_t, w_t, sweeps,
+                           tile_b, interpret):
+    nlyr, n, _, b = cppl.shape
+    dtype = cppl.dtype
+    mu = np.asarray(mu_t, np.float64)
+    w = np.asarray(w_t, np.float64)
+
+    floats = 16 * n * n + 10 * n
+    tb = _tile_for_vmem(floats, min(tile_b, max(128, b)))
+    if tb == 0:
+        raise ValueError(f"eig+beam kernel working set too large (n={n})")
+    pad = (-b) % tb
+    if pad:
+        p3 = [(0, 0), (0, 0), (0, pad)]
+        p4 = [(0, 0), (0, 0), (0, 0), (0, pad)]
+        cppl = jnp.pad(cppl, p4)
+        cpml = jnp.pad(cpml, p4)
+        r1 = jnp.pad(r1, p3)
+        r2 = jnp.pad(r2, p3)
+        mu0 = jnp.pad(mu0, [(0, 0), (0, pad)], constant_values=0.5)
+    b_pad = b + pad
+    grid = (nlyr, b_pad // tb)
+
+    mat_spec = pl.BlockSpec(
+        (1, n, n, tb), lambda l, i: (l, 0, 0, i), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec(
+        (1, n, tb), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM
+    )
+    # mu0 is layer-independent: one [1, B] row shared by every layer block
+    mu0_spec = pl.BlockSpec(
+        (1, tb), lambda l, i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    with jax.enable_x64(False):
+        kk, gp, gm, zp, zm = pl.pallas_call(
+            functools.partial(_beam_kernel_squeeze, mu, w, sweeps),
+            grid=grid,
+            in_specs=[mat_spec, mat_spec, vec_spec, vec_spec, mu0_spec],
+            out_specs=[vec_spec, mat_spec, mat_spec, vec_spec, vec_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((nlyr, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((nlyr, n, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((nlyr, n, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((nlyr, n, b_pad), dtype),
+                jax.ShapeDtypeStruct((nlyr, n, b_pad), dtype),
+            ],
+            interpret=interpret,
+        )(cppl, cpml, r1, r2, mu0)
+    if pad:
+        kk, zp, zm = kk[..., :b], zp[..., :b], zm[..., :b]
+        gp, gm = gp[..., :b], gm[..., :b]
+    return kk, gp, gm, zp, zm
+
+
+def eig_beam_chain_lane_fused_layered(
+    cppl, cpml,            # [L, N, N, B] scattering matrices, layer leading
+    r1, r2,                # [L, N, B] reduced beam RHS
+    mu0,                   # [1, B] beam cosine (layer-independent)
+    mu, w,                 # [N] static quadrature
+    *,
+    sweeps: int = DEFAULT_SWEEPS,
+    tile_b: int | None = None,
+    interpret: bool = False,
+):
+    """(kk [L,N,B], gp [L,N,N,B], gm, zp [L,N,B], zm) — the fused eig+beam
+    chain emitting the block-Thomas scan layout directly (no transpose
+    between the two kernels)."""
+    if tile_b is None:
+        tile_b = 2048 if cppl.shape[1] <= 2 else 256
+    return _eig_beam_call_layered(
         cppl, cpml, r1, r2, mu0,
         mu_t=tuple(float(x) for x in np.asarray(mu)),
         w_t=tuple(float(x) for x in np.asarray(w)),

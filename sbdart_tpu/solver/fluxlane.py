@@ -5,9 +5,11 @@ relayouts at each stage boundary (eig -> from_lane, bvp -> _to_scan_lane,
 bounds -> _to_scan_lane again): for the big [N, N] per-layer tensors that
 is three full HBM copies that do no arithmetic.  This module runs the
 entire flux-only (azimuth mode 0) solve in ONE layout — the scan-lane
-[L, *mat, B] layout the Pallas kernels consume — with exactly one cheap
-leading-axis transpose between the eigensolve kernel and the BVP kernel,
-and batch-major conversion only for the tiny [.., L+1] outputs.
+[L, *mat, B] layout the Pallas kernels consume.  Since round 5 the
+eigensolve kernel itself runs a (layer, lane-tile) grid and emits that
+layout directly (pallas/eig.py:eig_beam_chain_lane_fused_layered), so NO
+transpose sits between the eig and BVP kernels; batch-major conversion
+happens only for the tiny [.., L+1] outputs.
 
 Engaged from solve_rte for: onlyfl, nmode == 1, f32, Lambertian surface,
 N = nstr/2 even and <= 8, on TPU (or interpret for tests).  Everything
@@ -53,7 +55,6 @@ def solve_rte_flux_lane(
     """Flux-mode solve, lane-resident.  Inputs batch-major as in solve_rte
     (already broadcast); returns RteOutputs with uu=None."""
     from sbdart_tpu.pallas.blocktri import block_thomas_rt
-    from sbdart_tpu.pallas.eig import eig_beam_chain_lane_fused
 
     n = nstr // 2
     nlyr = dtauc.shape[-1]
@@ -80,11 +81,14 @@ def solve_rte_flux_lane(
         has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0
     )
 
-    # ---- scattering coefficients in (L, batch) lane order ----------------
+    # ---- scattering coefficients DIRECTLY in scan layout [L, *, Bc] ------
+    # Round 5: the kernel runs a (layer, lane-tile) grid and emits the
+    # block-Thomas layout, so no transpose sits between the two kernels
+    # (the leading-axis copy of gp/gm was 27% of the round-4 primary path's
+    # glue time).
     twol1 = jnp.asarray(tab.twol1, dtype)
     c = 0.5 * dm.ssalb[..., None] * twol1 * dm.gl       # [.., L, nstr]
     c_scan = _to_scan(c, 2)                             # [L, nstr, Bc]
-    c_flat = jnp.moveaxis(c_scan, 1, 0).reshape(nstr, -1)   # [nstr, L*Bc]
 
     ylm0 = np.asarray(tab.ylm[0], np.float64)           # [nstr, N]
     par0 = np.asarray(tab.parity[0], np.float64)
@@ -92,48 +96,30 @@ def solve_rte_flux_lane(
         (ylm0[:, :, None] * ylm0[:, None, :]).reshape(nstr, n * n), dtype
     )
     a_pm = a_pp * jnp.asarray(par0, dtype)[:, None]
-    big_b = c_flat.shape[-1]                            # L * Bc
-    cppl = jnp.einsum("lk,lB->kB", a_pp, c_flat).reshape(n, n, big_b)
-    cpml = jnp.einsum("lk,lB->kB", a_pm, c_flat).reshape(n, n, big_b)
+    cppl = jnp.einsum("lk,SlB->SkB", a_pp, c_scan).reshape(nlyr, n, n, bc)
+    cpml = jnp.einsum("lk,SlB->SkB", a_pm, c_scan).reshape(nlyr, n, n, bc)
 
-    # ---- beam RHS in lane space ------------------------------------------
-    mu0_flat = jnp.broadcast_to(
-        mu0.reshape(-1)[None, :], (nlyr, bc)
-    ).reshape(1, -1).astype(dtype)                      # [1, L*Bc]
-    scale = jnp.where(has_beam, fbeam, 0.0) / (2.0 * jnp.pi)
-    scale_flat = jnp.broadcast_to(
-        scale.reshape(-1)[None, :], (nlyr, bc)
-    ).reshape(-1).astype(dtype)
+    # ---- beam RHS in scan layout -----------------------------------------
+    mu0_row = mu0.reshape(-1)[None, :].astype(dtype)    # [1, Bc]
+    scale = (jnp.where(has_beam, fbeam, 0.0) / (2.0 * jnp.pi)) \
+        .reshape(-1).astype(dtype)                      # [Bc]
     y0 = _ylm_at(mu0, 1, nstr, dtype)[..., 0, :]        # [batch.., nstr]
     y0d = y0 * jnp.asarray(tab.parity[0], dtype)
-    y0d_flat = jnp.broadcast_to(
-        y0d.reshape(-1, nstr).T[:, None, :], (nstr, nlyr, bc)
-    ).reshape(nstr, -1)                                 # [nstr, L*Bc]
-    prod = c_flat * y0d_flat
+    prod = c_scan * y0d.reshape(-1, nstr).T[None, :, :]  # [L, nstr, Bc]
     ylm_mat = jnp.asarray(ylm0.T, dtype)                # [N, nstr]
-    x0p = (ylm_mat @ prod) * scale_flat[None, :]
-    x0m = ((ylm_mat * jnp.asarray(par0, dtype)[None, :]) @ prod) \
-        * scale_flat[None, :]
-    inv_mu_col = jnp.asarray(1.0 / tab.mu, dtype)[:, None]
-    r1 = (x0p + x0m) * inv_mu_col
+    x0p = jnp.einsum("il,SlB->SiB", ylm_mat, prod) * scale[None, None, :]
+    x0m = jnp.einsum(
+        "il,SlB->SiB", ylm_mat * jnp.asarray(par0, dtype)[None, :], prod
+    ) * scale[None, None, :]
+    inv_mu_col = jnp.asarray(1.0 / tab.mu, dtype)[None, :, None]
+    r1 = (x0p + x0m) * inv_mu_col                       # [L, N, Bc]
     r2 = (x0p - x0m) * inv_mu_col
 
-    kk_l, gp_l, gm_l, zp_l, zm_l = eig_beam_chain_lane_fused(
-        cppl, cpml, r1, r2, mu0_flat, tab.mu, tab.w, interpret=interpret
-    )
+    from sbdart_tpu.pallas.eig import eig_beam_chain_lane_fused_layered
 
-    # ---- reshape kernel outputs to scan-lane [L, *, Bc] ------------------
-    def unflat(x):
-        # [..., L*Bc] -> [L, ..., Bc]; L is the leading factor, so this is
-        # a leading-axis moveaxis with the minor (lane) dim untouched
-        y = x.reshape(x.shape[:-1] + (nlyr, bc))
-        return jnp.moveaxis(y, -2, 0)
-
-    kk = unflat(kk_l)            # [L, N, Bc]
-    gp = unflat(gp_l)            # [L, N, N, Bc]
-    gm = unflat(gm_l)
-    zp = unflat(zp_l)
-    zm = unflat(zm_l)
+    kk, gp, gm, zp, zm = eig_beam_chain_lane_fused_layered(
+        cppl, cpml, r1, r2, mu0_row, tab.mu, tab.w, interpret=interpret
+    )                                                   # [L, *, Bc]
 
     dtau_scan = _to_scan(dm.dtau)                       # [L, Bc]
     ee = jnp.exp(-kk * dtau_scan[:, None, :])           # [L, N, Bc]

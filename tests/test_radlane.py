@@ -136,7 +136,11 @@ def test_radlane_compiled_lb_between_128_and_tile():
         a = np.asarray(getattr(o9, nm))
         b = np.asarray(getattr(o16, nm))[:9]
         err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
-        assert err < 1e-6, (nm, err)
+        # a few-ulp bar, not 1e-6: the two batch widths compile different
+        # XLA fusion shapes for the glue reductions, so accumulation
+        # order differs (measured 2.1e-6 on rfldn) — a real padding bug
+        # (lanes bleeding across columns) would be O(1)
+        assert err < 5e-6, (nm, err)
         assert np.isfinite(a).all(), nm
 
 
