@@ -237,13 +237,26 @@ _UNIT = {
     "n2o": _PER_ATMCM_TO_PER_1E20,
 }
 
-# Per-gas beta calibration: FITTED 2026-08-21 so the integral anchors stay
-# green with the published-intensity S tables — Lacis-Hansen H2O column
-# absorptance (<=8%), O2 per-band W/m^2 (4.05 vs ~4.2), clear-sky OLR/DLR
-# (TRO -0.9/-2.9%, MLS -1.0/-3.2%, SAW -3.3/+0.3% vs ICRCCM-class values;
-# tests/test_gas_calibration.py).  Values < 1 absorb the difference between
-# p0 line widths and the Curtis-Godson-style effective-amount scaling this
-# model applies (beta is held at its p0 value while u is pressure-scaled).
+# Per-gas beta calibration: FITTED so the integral anchors stay green with
+# the published-intensity S tables — Lacis-Hansen H2O column absorptance,
+# O2 per-band W/m^2, clear-sky OLR/DLR (round-5 margins on the
+# two-parameter Curtis-Godson scheme: TRO +0.7/-2.0%, MLS +1.9/-1.6%,
+# SAW -1.5/+2.4% vs ICRCCM-class values; tests/test_gas_calibration.py).
+#
+# WHAT THE FACTOR MEANS (round 5): pressure no longer hides here.  Since
+# the two-parameter Curtis-Godson split (gas.py item 4), beta carries its
+# (p + p_d)/p0 * (T0/T)^1/2 dependence EXPLICITLY per layer, so BETA_CAL
+# is purely the envelope model-form correction: the per-feature beta
+# values above are line-spacing estimates pi*gamma_L/d (e.g. CO2
+# pi*0.07/1.56 = 0.141), and CAL < 1 compensates the band-shape
+# envelopes concentrating S(nu) more than the real 20 cm^-1 structure
+# does (a too-peaked S inflates absorption at fixed beta; shrinking beta
+# restores the measured curve of growth).  Eliminating the factor was
+# tried and REJECTED against the anchors: CAL = 1 for all gases gives
+# OLR -7..-9%, SAW DLR +14%, Lacis-Hansen H2O +26% — evidence the
+# residual is real model-form error, not a pressure artifact.  The factor
+# is bounded within 2.5x of line-spacing spectroscopy by
+# tests/test_band_absorptance.py::test_beta_bounded_by_line_spacing.
 BETA_CAL = {
     "h2o": 0.5, "co2": 0.31, "o3": 0.3, "o2": 1.0, "ch4": 0.3, "n2o": 0.3,
 }  # noqa: E501 — see fit provenance above

@@ -6,7 +6,8 @@ exponential sum T(u) = sum_i w_i exp(-k_i u) per band (the `kdist` loop of
 sbdart.f).  Here the same architecture is built the correlated-k way:
 
   1. each gas has Malkmus parameters (S, beta) per wavelength
-     (data/gas_bands.py);
+     (data/gas_bands20.py for the six major gases, data/gas_bands.py for
+     the trace gases);
   2. the Malkmus k-distribution is ANALYTIC — an inverse-Gaussian density
      f(k) = (1/2) sqrt(beta S / pi) k^-3/2 exp(beta/2) exp(-(beta/4)(k/S + S/k))
      (Lacis & Oinas 1991) — so the 3 k-terms are Gauss–Legendre quantiles of
@@ -15,15 +16,41 @@ sbdart.f).  Here the same architecture is built the correlated-k way:
      added as gray (band-effective) absorption, and the electronic-band
      absorbers (O3 UV/vis, NO2) plus the H2O window continuum are gray
      Beer–Lambert cross-sections;
-  4. amounts are pressure/temperature scaled per layer
-     (u_eff = u (p/p0)^a (T0/T)^b), the band-model equivalent of
-     Curtis–Godson.
+  4. pressure handling is TWO-PARAMETER Curtis–Godson (round 5).  For the
+     major gases the Lorentz overlap parameter carries the pressure
+     explicitly — beta_l = beta0(nu) * (p_l + p_d)/p0 * (T0/T_l)^0.5 per
+     layer (gamma_L ~ p T^-1/2) — and amounts carry only the
+     line-strength temperature factor u_l (T0/T_l)^b.  The dominant-gas
+     k-quantiles are evaluated PER LAYER at beta_l (correlated-k across
+     layers), and gray/minor columns use the Curtis–Godson effective pair
+     (u_cg, beta_cg) = (sum u_l, beta0 * sum(u_l pfac_l)/sum u_l).  This
+     makes the WEAK limit exact (A = S u, no spurious pressure factor —
+     the round-4 one-parameter scaling u (p/p0)^a corrupted it) and
+     reproduces the strong-line sqrt(S beta(pbar) u) law with the
+     pressure dependence stated instead of absorbed into a fitted
+     calibration (see data/gas_bands20.py:BETA_CAL provenance).  Trace
+     gases (co, so2, nh3, no, hno3) and the O4 collision pair keep the
+     legacy one-parameter scaling u (p/p0)^a (T0/T)^b — their bands are
+     minor and O4's p^2 density dependence lives in the amount exponent.
+
+     KNOWN QUADRATURE LIMITATION: the weak-limit exactness above holds
+     for the ANALYTIC Malkmus forms (the gray/minor path).  The 3-point
+     Gauss quantile quadrature under-resolves the extreme skew of
+     small-beta k-distributions (measured: sum w_i k_i / S = 0.88 at
+     beta = 1 but 0.07 at beta = 0.01), so optically-thin absorption in
+     the 3-term dominant-gas path is underestimated where beta_l is
+     small.  This is intrinsic to ANY 3-term representation (the
+     reference's 3-term exponential-sum fit trades the same dof) and is
+     absorbed by the integral anchors; revisit with more k-terms if
+     thin-band heating aloft ever becomes a product requirement.
 
 Everything here is host-side numpy setup producing the per-band tensors
 tau_gas[nwl, nk, nlyr] and weights wk[nwl, nk] the pipeline consumes.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -97,8 +124,47 @@ def malkmus_k_quantiles(s: np.ndarray, beta: np.ndarray) -> np.ndarray:
     return s[:, None] * np.exp(out)
 
 
+# The Malkmus density in x = ln(k/S) depends on beta ALONE, so the quantile
+# RATIOS q_i(beta) = k_i/S are a one-parameter family: tabulate once on a
+# log-beta grid and per-(band, layer) quantiles become an interpolation.
+@functools.lru_cache(maxsize=1)
+def _quantile_ratio_table():
+    lb = np.linspace(np.log(1e-7), np.log(1e4), 221)
+    q = malkmus_k_quantiles(np.ones_like(lb), np.exp(lb))      # [nb, 3]
+    return lb, np.log(q)
+
+
+def malkmus_k_quantiles_beta(s: np.ndarray, beta: np.ndarray) -> np.ndarray:
+    """k quantiles for arbitrary-shaped (s, beta) via the ratio table.
+
+    Matches malkmus_k_quantiles to the log-beta interpolation tolerance
+    (tests/test_physics_setup.py pins the agreement); used for the
+    per-layer Curtis–Godson beta_l path where the direct cumulative
+    inversion would run per (band x layer).
+    """
+    lb, lq = _quantile_ratio_table()
+    lbv = np.log(np.clip(np.asarray(beta, np.float64), 1e-7, 1e4))
+    out = np.empty(np.shape(lbv) + (3,))
+    for i in range(3):
+        out[..., i] = np.exp(np.interp(lbv, lb, lq[:, i]))
+    return np.asarray(s, np.float64)[..., None] * out
+
+
+# major gases: two-parameter Curtis-Godson (beta carries pressure);
+# trace gases + O4: legacy one-parameter amount scaling
+CG_GASES = ("h2o", "co2", "o3", "o2", "ch4", "n2o")
+
+
 class GasAmounts:
-    """Per-layer scaled absorber amounts for every gas."""
+    """Per-layer scaled absorber amounts for every gas.
+
+    For the CG_GASES, `scaled` carries ONLY the line-strength temperature
+    factor u (T0/T)^b and `pfac` carries the per-layer Lorentz-broadening
+    factor (p + p_d)/p0 * (T0/T)^0.5 that multiplies beta0 (the
+    two-parameter Curtis–Godson split).  For the legacy trace gases,
+    `scaled` is the round-4 one-parameter u (p/p0)^a (T0/T)^b and `pfac`
+    is 1 (beta stays at its table value).
+    """
 
     def __init__(self, profile: Profile, cfg: Config):
         self.profile = profile
@@ -106,6 +172,7 @@ class GasAmounts:
         tlay = profile.layer_temperature()
         self.amounts: dict[str, np.ndarray] = {}
         self.scaled: dict[str, np.ndarray] = {}
+        self.pfac: dict[str, np.ndarray] = {}
 
         def scalef(field: str | None) -> float:
             if field is None:
@@ -131,9 +198,16 @@ class GasAmounts:
             # Doppler-floor equivalent pressure keeps stratospheric line
             # cores absorbing (see data/gas_bands.py:DOPPLER_FLOOR_MB)
             pd = DOPPLER_FLOOR_MB.get(gas, 0.0)
-            self.scaled[gas] = (
-                u * ((play + pd) / P0_MB) ** a * (T0_K / tlay) ** b
-            )
+            if gas in CG_GASES:
+                self.scaled[gas] = u * (T0_K / tlay) ** b
+                self.pfac[gas] = (
+                    ((play + pd) / P0_MB) * (T0_K / tlay) ** 0.5
+                )
+            else:
+                self.scaled[gas] = (
+                    u * ((play + pd) / P0_MB) ** a * (T0_K / tlay) ** b
+                )
+                self.pfac[gas] = np.ones_like(play)
 
         # vapor pressure weighting for the e-type continuum
         wh_lay = 0.5 * (profile.wh[:-1] + profile.wh[1:])    # g/m^3
@@ -142,6 +216,18 @@ class GasAmounts:
             MIXING_RATIOS["no2"] * scalef("xno2")
         )                                                    # molecules/cm^2
         self.o3_molec = profile.layer_o3() * _LOSCHMIDT_CM2  # molecules/cm^2
+
+    def cg_column(self, gas: str) -> tuple[float, float]:
+        """Curtis–Godson column pair: (u_cg, beta-factor).
+
+        u_cg = sum of (T-scaled) amounts; the beta factor is the
+        amount-weighted mean of pfac — multiply a band's beta0 by it for
+        the column-equivalent homogeneous Malkmus parameters.
+        """
+        u = self.scaled[gas]
+        ucol = max(float(u.sum()), 1e-300)
+        bfac = float((u * self.pfac[gas]).sum() / ucol)
+        return ucol, bfac
 
 
 def gas_optical_depth(
@@ -187,14 +273,30 @@ def gas_optical_depth(
         u_lay = amounts.scaled[gas]                              # [nlyr]
         ucol = ucols[gas]
         is_dom = (dom == gi) & any_line & (s > 0)
+        # Curtis–Godson column beta for the gray/minor treatment (pfac = 1
+        # for the legacy trace gases, so this is their table beta)
+        _, bfac = amounts.cg_column(gas)
+        beta_col = beta * bfac
         # gray effective k for this gas (used when minor, or kdist=0)
-        t_band = malkmus_transmission(s, beta, ucol)
+        t_band = malkmus_transmission(s, beta_col, ucol)
         kbar = -np.log(np.maximum(t_band, 1e-300)) / ucol        # [nwl]
         if nk == 3:
             idx = np.where(is_dom)[0]
             if idx.size:
-                kq = malkmus_k_quantiles(s[idx], beta[idx])      # [nb, 3]
-                tau[idx] += kq[:, :, None] * u_lay[None, None, :]
+                if gas in CG_GASES:
+                    # per-layer beta_l = beta0 (p_l+p_d)/p0 (T0/T)^0.5:
+                    # k-quantiles evaluated per layer (correlated-k across
+                    # layers), amounts carry only the T factor
+                    pf = amounts.pfac[gas]                       # [nlyr]
+                    beta_l = beta[idx, None] * pf[None, :]       # [nb, nlyr]
+                    kq = malkmus_k_quantiles_beta(
+                        np.broadcast_to(s[idx, None], beta_l.shape), beta_l
+                    )                                            # [nb, L, 3]
+                    tau[idx] += np.moveaxis(kq, 2, 1) \
+                        * u_lay[None, None, :]
+                else:
+                    kq = malkmus_k_quantiles(s[idx], beta[idx])  # [nb, 3]
+                    tau[idx] += kq[:, :, None] * u_lay[None, None, :]
             minor = ~is_dom
             tau[minor] += (kbar[minor, None, None] * u_lay[None, None, :])
         else:

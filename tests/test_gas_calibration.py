@@ -70,12 +70,16 @@ class TestShortwave:
             assert a == pytest.approx(lacis_hansen_o3(x), rel=rel), x
 
     def test_o2_band_absorptions(self):
-        """Per-band solar absorption magnitudes (W/m^2, slant M=1.16)."""
+        """Per-band solar absorption magnitudes (W/m^2, slant M=1.16).
+
+        Column evaluated with the Curtis–Godson pair (u_cg, beta0 * bfac)
+        — the round-5 two-parameter scheme's homogeneous equivalent."""
         wl_s, e_s, _ = _sw_grid()
         prof = build_profile(Config(idatm=2))
-        u = GasAmounts(prof, Config(idatm=2)).scaled["o2"].sum() * 1.16
+        am = GasAmounts(prof, Config(idatm=2))
+        u, bfac = am.cg_column("o2")
         s, beta = band_parameters("o2", wl_s)
-        t = malkmus_transmission(s, beta, u)
+        t = malkmus_transmission(s, beta * bfac, u * 1.16)
         a_total = np.trapezoid(e_s * (1 - t), wl_s)
         assert 2.5 < a_total < 6.5, a_total     # published total ~4.2
 
@@ -83,9 +87,10 @@ class TestShortwave:
         """CO2 solar absorption ~0.5-1.5% of TSI (slant)."""
         wl_s, e_s, tsi = _sw_grid()
         prof = build_profile(Config(idatm=2))
-        u = GasAmounts(prof, Config(idatm=2)).scaled["co2"].sum() * 1.16
+        am = GasAmounts(prof, Config(idatm=2))
+        u, bfac = am.cg_column("co2")
         s, beta = band_parameters("co2", wl_s)
-        t = malkmus_transmission(s, beta, u)
+        t = malkmus_transmission(s, beta * bfac, u * 1.16)
         a = np.trapezoid(e_s * (1 - t), wl_s) / tsi
         assert 0.004 < a < 0.015, a
 

@@ -234,6 +234,39 @@ class TestGasKDistribution:
                 t_k = np.sum(_GL3_W * np.exp(-kq[i] * u))
                 np.testing.assert_allclose(t_k, t_exact, atol=0.04)
 
+    def test_quantile_ratio_table_matches_direct(self):
+        """The log-beta ratio-table path (used per (band, layer) for the
+        Curtis-Godson beta_l) matches the direct cumulative inversion."""
+        from sbdart_tpu.gas import malkmus_k_quantiles_beta
+
+        rng = np.random.default_rng(3)
+        s = rng.uniform(0.1, 100.0, 40)
+        beta = 10.0 ** rng.uniform(-5, 2, 40)
+        kq_direct = malkmus_k_quantiles(s, beta)
+        kq_table = malkmus_k_quantiles_beta(s, beta)
+        np.testing.assert_allclose(kq_table, kq_direct, rtol=2e-3)
+        # arbitrary-shape broadcast: [nb, nlyr]
+        s2 = np.broadcast_to(s[:, None], (40, 7))
+        b2 = np.broadcast_to(beta[:, None], (40, 7))
+        kq2 = malkmus_k_quantiles_beta(s2, b2)
+        assert kq2.shape == (40, 7, 3)
+        np.testing.assert_allclose(kq2[:, 0, :], kq_table, rtol=1e-12)
+
+    def test_cg_weak_limit_pressure_free_analytic(self):
+        """Two-parameter Curtis-Godson, ANALYTIC path (the gray/minor-gas
+        treatment): in the weak (linear) limit the column absorption
+        equals S*u with NO pressure factor — the round-4 one-parameter
+        scaling u (p/p0)^a suppressed weak-line absorption aloft by the
+        full pressure ratio.  (The 3-term quantile path approaches this
+        only at quadrature fidelity: 3 Gauss points under-resolve the
+        extreme skew of small-beta k-distributions — a documented
+        limitation shared with the reference's 3-term fit, see gas.py.)"""
+        s = 1.0
+        u = 1e-6
+        for pfac in (1.0, 0.3, 0.05):
+            t = malkmus_transmission(s, 0.1 * pfac, u)
+            np.testing.assert_allclose(1.0 - t, s * u, rtol=1e-3)
+
     def test_malkmus_quantiles_structure(self):
         """Quantiles are positive, ordered, and bracket the band strength."""
         s = np.array([2.0, 20.0])
