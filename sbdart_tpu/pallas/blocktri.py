@@ -37,11 +37,18 @@ def _solve_step(dt, rhs_aug):
     Branchless partial-pivoted GE with IMPLICIT pivoting: rows are never
     physically exchanged — each step argmax-selects a pivot row per lane,
     eliminates it from every remaining row in place, and saves the pivot
-    row for the back-substitution.  That is 2 full [m, m+r, TB] passes per
-    step (select + update) vs 4 for the explicit-swap formulation the
-    round-2 kernel used (select + two swap-selects + update): same
-    pivoting decisions bit-for-bit, ~1.5x less VPU work, and still no
-    scatters or dynamic slices (Mosaic-clean).
+    row for the back-substitution.  Same pivoting decisions bit-for-bit
+    as LINPACK SGBFA-style explicit swaps, no scatters or dynamic slices
+    (Mosaic-clean).
+
+    SHRINKING ELIMINATION (round 5): once column k is eliminated it is
+    never read again (the back-substitution works off the SAVED pivot
+    rows, and every remaining row has an exact zero there), so each step
+    drops its pivot column instead of updating the full width — the
+    update pass narrows from m+r to m+r-k columns, cutting total GE
+    update work by m(m+1)/2 / (m(m+r)) (39% at the nstr=4 shape, 23% at
+    nstr=16 with the rank-N RHS).  The loops are statically unrolled, so
+    the shrinking widths are static shapes.
     """
     m = dt.shape[0]
     tb = dt.shape[-1]
@@ -50,26 +57,36 @@ def _solve_step(dt, rhs_aug):
     eliminated = jnp.zeros((m, tb), jnp.bool_)
     prows = []
     for k in range(m):
-        col = jnp.abs(aug[:, k, :])                    # [m, TB]
-        col = jnp.where(eliminated, -1.0, col)
+        # the current pivot column is always the leading column: column
+        # k-1 was dropped at the end of the previous step
+        lead = aug[:, 0, :]                            # [m, TB]
+        col = jnp.where(eliminated, -1.0, jnp.abs(lead))
         piv = jax.lax.argmax(col, axis=0, index_dtype=jnp.int32)   # [TB]
         sel_p = (row_ids == piv[None, :])              # [m, TB]
-        row_p = jnp.sum(jnp.where(sel_p[:, None, :], aug, 0.0), axis=0)
-        inv_piv = 1.0 / row_p[k]
+        # pivot value and pivot-row tail extracted SEPARATELY: slicing the
+        # masked-sum result afterwards trips Mosaic's gather lowering
+        # ("shape mismatch" on the sliced broadcast), slicing the operand
+        # first lowers fine
+        piv_val = jnp.sum(jnp.where(sel_p, lead, 0.0), axis=0)     # [TB]
+        tail = aug[:, 1:, :]                           # [m, w-1, TB]
+        row_t = jnp.sum(jnp.where(sel_p[:, None, :], tail, 0.0), axis=0)
+        inv_piv = 1.0 / piv_val
         factor = jnp.where(
-            eliminated | sel_p, 0.0, aug[:, k, :] * inv_piv[None, :]
+            eliminated | sel_p, 0.0, lead * inv_piv[None, :]
         )
-        aug = aug - factor[:, None, :] * row_p[None, :, :]
+        aug = tail - factor[:, None, :] * row_t[None, :, :]
         eliminated = eliminated | sel_p
-        prows.append(row_p)
-    # back substitution on the saved pivot rows (upper-triangular in the
-    # elimination order: prows[i] has zeros in columns < i)
+        prows.append((piv_val, row_t))                 # tail: [m+r-k-1, TB]
+    # back substitution on the saved pivot rows; prows[i] = (pivot value,
+    # [a_{i,i+1..m-1}, rhs_i]) with columns < i dropped before capture,
+    # so a_{ij} sits at tail offset j - i - 1 and the rhs at m - i - 1.
     x = [None] * m
     for i in reversed(range(m)):
-        s = prows[i][m:]
+        pv, rest = prows[i]
+        s = rest[m - i - 1:]
         for j in range(i + 1, m):
-            s = s - prows[i][j][None, :] * x[j]
-        x[i] = s / prows[i][i][None, :]
+            s = s - rest[j - i - 1][None, :] * x[j]
+        x[i] = s / pv[None, :]
     return jnp.stack(x, axis=0)                        # [m, r, TB]
 
 
@@ -250,7 +267,17 @@ def _eye_bottom(m, n, like_row):
 
 
 def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
-               xs_ref, cs_ref, ys_ref):
+               xs_ref, ws_ref, ys_ref):
+    """Single-pass (whole column VMEM-resident) fused assemble+solve.
+
+    Stores the FULL [2N, 2N] Thomas factor W per layer: the history lives
+    in VMEM scratch, so the rank-N storage that pays on the streamed
+    variant (HBM history traffic) only adds backward-pass work here —
+    measured round 5: rank-N single-pass was 9% SLOWER at the nstr=4
+    bench shape (the ub reconstruction + two skinny matvecs cost more
+    than the 2-column-narrower forward solve saves when no HBM byte
+    moves).  The streamed chunk kernels below keep the rank-N scheme.
+    """
     nlyr, n, _, tb = gp_ref.shape
     m = 2 * n
     dtype = gp_ref.dtype
@@ -263,10 +290,8 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
         gme = gml * eel[None, :, :]
         return gpl, gml, gpe, gme
 
-    eyeb = _eye_bottom(m, n, gp_ref[0][0, 0])   # [2N, N, TB]
-
     def fwd(l, carry):
-        c_prev, y_prev = carry
+        w_prev, y_prev = carry
         gpl, gml, gpe, gme = layer_mats(l)
 
         # ---- diagonal block ------------------------------------------------
@@ -285,10 +310,8 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
         has_low = jnp.where(l > 0, jnp.ones((), dtype), jnp.zeros((), dtype))
         lt = -has_low * jnp.concatenate([gmem, gpm], axis=1)   # [N, 2N, TB]
 
-        # dt = diag - lower @ W_prev with W_prev = C_prev @ ub_prev;
-        # ub_prev (layer l-1 -> l coupling) uses THIS layer's mats
-        ub_prev = -jnp.concatenate([gpl, gme], axis=1)     # [N, 2N, TB]
-        corr_top = _mm(_mm(lt, c_prev), ub_prev)           # [N, 2N, TB]
+        # dt = diag - lower @ w_prev ; lower nonzero only in top rows
+        corr_top = _mm(lt, w_prev)                         # [N, 2N, TB]
         dt = diag_l - jnp.concatenate(
             [corr_top, jnp.zeros_like(corr_top)], axis=0
         )
@@ -296,18 +319,26 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
         corr_r = jnp.sum(lt * y_prev[None, :, :], axis=1)  # [N, TB]
         rt = r_l - jnp.concatenate([corr_r, jnp.zeros_like(corr_r)], axis=0)
 
-        sol = _solve_step(dt, jnp.concatenate(
-            [eyeb, rt[:, None, :]], axis=1))               # [2N, N+1, TB]
-        c_l = sol[:, :n]                                   # [2N, N, TB]
-        y_l = sol[:, n]
-        cs_ref[pl.ds(l, 1)] = c_l.reshape(m * n, tb)[None]
-        ys_ref[pl.ds(l, 1)] = y_l[None]
-        return (c_l, y_l)
+        # ---- upper block (bottom rows only, from layer l+1) ----------------
+        lp1 = jnp.minimum(l + 1, nlyr - 1)
+        gpp, gmp, gpep, gmep = layer_mats(lp1)
+        has_up = jnp.where(l < nlyr - 1, jnp.ones((), dtype),
+                           jnp.zeros((), dtype))
+        ub = -has_up * jnp.concatenate([gpp, gmep], axis=1)    # [N, 2N, TB]
+        upper_l = jnp.concatenate([jnp.zeros_like(ub), ub], axis=0)
 
-    c0 = jnp.zeros((m, n, tb), dtype)
+        sol = _solve_step(dt, jnp.concatenate(
+            [upper_l, rt[:, None, :]], axis=1))
+        w_l = sol[:, :m]
+        y_l = sol[:, m]
+        ws_ref[pl.ds(l, 1)] = w_l.reshape(m * m, tb)[None]
+        ys_ref[pl.ds(l, 1)] = y_l[None]
+        return (w_l, y_l)
+
+    w0 = jnp.zeros((m, m, tb), dtype)
     y0 = jnp.zeros((m, tb), dtype)
-    c_last, y_last = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(nlyr), fwd, (c0, y0)
+    w_last, y_last = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nlyr), fwd, (w0, y0)
     )
 
     xs_ref[nlyr - 1] = y_last
@@ -315,13 +346,8 @@ def _rt_kernel(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
     def bwd(i, x_next):
         l = jnp.int32(nlyr - 2) - i
         y_l = ys_ref[pl.ds(l, 1)][0]
-        c_l = cs_ref[pl.ds(l, 1)][0].reshape(m, n, tb)
-        gpp = gp_ref[pl.ds(l + 1, 1)][0]
-        gmp = gm_ref[pl.ds(l + 1, 1)][0]
-        eep = ee_ref[pl.ds(l + 1, 1)][0]
-        ub = -jnp.concatenate([gpp, gmp * eep[None, :, :]], axis=1)
-        z = jnp.sum(ub * x_next[None, :, :], axis=1)       # [N, TB]
-        x_l = y_l - jnp.sum(c_l * z[None, :, :], axis=1)   # [2N, TB]
+        w_l = ws_ref[pl.ds(l, 1)][0].reshape(m, m, tb)
+        x_l = y_l - jnp.sum(w_l * x_next[None, :, :], axis=1)
         xs_ref[pl.ds(l, 1)] = x_l[None]
         return x_l
 
@@ -485,18 +511,23 @@ def _block_thomas_rt_streamed(gp, gm, ee, refl, rhs, *, tile_b, interpret,
     dtype = gp.dtype
 
     if layer_chunk is None:
-        # autotune: the largest chunk whose working set still allows a
-        # 128-lane tile (bigger chunks amortize the grid-step carry and the
-        # one-layer halo re-reads; round-4 trace sweep at n=8, B=4096:
-        # lc=24/tile=128 is 8% faster than lc=8/tile=256 — chunk size
-        # dominates lane-tile width for this serial-loop-bound kernel)
-        layer_chunk = 8
-        for lc_try in (64, 48, 32, 24, 16, 12):
+        # autotune: among chunk sizes whose working set still allows a
+        # 128-lane tile, MINIMIZE the padded layer count first (the
+        # serial loop runs every padded layer: lc=32 at nlyr=65 pads to
+        # 96 layers — 48% pure waste, measured as a 17% kernel regression
+        # in round 5), then prefer the larger chunk (bigger chunks
+        # amortize the grid-step carry; round-4 trace sweep: lc=24/t128
+        # beats lc=8/t256 by 8%)
+        best = (1 << 30, 0, 8)
+        for lc_try in (64, 48, 40, 36, 33, 32, 28, 24, 22, 20, 16, 12, 8):
             if lc_try <= nlyr and _tile_for_vmem(
                 2 * _chunk_floats(lc_try, n, m), 256
             ) >= 128:
-                layer_chunk = lc_try
-                break
+                padded = -(-nlyr // lc_try) * lc_try
+                key = (padded, -lc_try, lc_try)
+                if key < best:
+                    best = key
+        layer_chunk = best[2]
 
     # pad layers to a chunk multiple with decoupled identity layers
     # (gp = 0, gm = I, ee = 0, rhs = 0): their W is zero, so the padded
@@ -650,9 +681,10 @@ def block_thomas_rt(
     m = 2 * n
     dtype = gp.dtype
 
-    # per-lane f32 working set: gp+gm+ee (2n^2+n) + rhs/xs/ys (3m) + the
-    # rank-N factor history cs (m*n) per layer, + refl and temporaries
-    floats = nlyr * (4 * n * n + 2 * n + 2 * 2 * m + m * n) + 2 * n * n
+    # per-lane f32 working set: gp+gm+ee inputs, rhs/xs/ys, and the FULL
+    # [2N, 2N] factor history (the single-pass kernel keeps full W — see
+    # _rt_kernel docstring), + refl and temporaries
+    floats = nlyr * (4 * n * n + 2 * n + 2 * 2 * m + m * m) + 2 * n * n
     tb = _tile_for_vmem(floats, min(tile_b, max(128, b)))
     if tb == 0:
         # whole-column working set exceeds VMEM (e.g. nstr=16 x 65 layers):
@@ -696,7 +728,7 @@ def block_thomas_rt(
             out_specs=spec(rhs),
             out_shape=jax.ShapeDtypeStruct((nlyr, m, b_pad), dtype),
             scratch_shapes=[
-                pltpu.VMEM((nlyr, m * n, tb), dtype),
+                pltpu.VMEM((nlyr, m * m, tb), dtype),
                 pltpu.VMEM((nlyr, m, tb), dtype),
             ],
             interpret=interpret,
