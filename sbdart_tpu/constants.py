@@ -41,3 +41,24 @@ SOLAR_CONSTANT = 1361.0         # W / m^2
 SSALB_DITHER = 1.0e-9
 # Minimum layer optical depth used to avoid 0/0 in linear-in-tau Planck slopes.
 DTAU_MIN = 1.0e-12
+
+# Floor for the LINEAR-IN-TAU Planck slope denominator b1 = dB/dtau
+# (round 5).  The slope amplifies the Planck function's rounding noise by
+# 1/dtau and enters the BVP right-hand side through the thermal particular
+# solution UNDAMPED by dtau, so optically thin thermal layers turn
+# eps*B/dtau into O(B) flux noise (measured: 3x TOA-flux scatter between
+# two correct f32 paths at dtau ~ 1e-5 in 20 cm^-1 water-vapor bands,
+# +50% OLR on the f32 TPU pipeline for the subarctic-winter column).
+# Sub-floor layers are treated as near-isothermal: their emission is
+# O(dtau * B), so the linearization detail is physically irrelevant,
+# while the noise amplification is capped at eps/floor (~1e-4 relative
+# in f32, ~1e-8 in f64).
+SLOPE_TAU_MIN_F32 = 1.0e-3
+SLOPE_TAU_MIN_F64 = 1.0e-8
+
+
+def slope_tau_floor(dtype):
+    import jax.numpy as jnp
+
+    return (SLOPE_TAU_MIN_F32 if jnp.dtype(dtype) == jnp.float32
+            else SLOPE_TAU_MIN_F64)

@@ -146,9 +146,13 @@ def solve_rte(
     # in one lane layout, lane-form USRINT source projections, TMS/IMS on
     # top (solver/radlane.py).  Same math as the generic path below;
     # equivalence pinned by tests/test_radlane.py.
+    # BRDF radiance runs through the lane path too (round 5): per-mode
+    # Fourier reflection matrices feed the same block-Thomas kernel and
+    # the surface radiance start is azimuth-folded like the layer sources
+    # (solver/radlane.py); remaining exclusions (nstr > 16, odd N, f64)
+    # are documented with measured costs in docs/USERGUIDE.md.
     rad_lane_ok = (
         (not onlyfl) and umu is not None and phi is not None
-        and brdf is None
         and n_half2 <= 8 and n_half2 % 2 == 0
         and jnp.dtype(dtype) == jnp.float32
     )
@@ -170,6 +174,7 @@ def solve_rte(
             planck=planck, temper=temper, wvnlo=wvnlo, wvnhi=wvnhi,
             btemp=btemp, ttemp=ttemp, temis=temis,
             deltam=deltam, umu=umu, phi=phi, corint=corint, dtype=dtype,
+            brdf=brdf,
             interpret=(eig_method == "fused_interpret"),
         )
 

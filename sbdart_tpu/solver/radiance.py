@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sbdart_tpu.constants import DTAU_MIN
+from sbdart_tpu.constants import DTAU_MIN, slope_tau_floor
 from sbdart_tpu.solver.deltam import DeltaMResult
 from sbdart_tpu.solver.eig import AngularTables, EigResult
 from sbdart_tpu.solver.bvp import BvpSolution, BoundaryIntensities
@@ -140,7 +140,9 @@ def compute_radiances(
             "li,...Li->...Ll", wy[0], thermal.y1p
         ) + jnp.einsum("l,li,...Li->...Ll", parity[0], wy[0], thermal.y1m)
         emis = (1.0 - dm.ssalb)
-        b1 = (thermal.b_bot - thermal.b_top) / jnp.maximum(dm.dtau, DTAU_MIN)
+        b1 = (thermal.b_bot - thermal.b_top) / jnp.maximum(
+            dm.dtau, slope_tau_floor(dtype)
+        )
         st0_0 = (
             jnp.einsum("...Ll,lu,...Ll->...Lu", c, ylm_u[0], chi_y0)
             + (emis * thermal.b_top)[..., None]

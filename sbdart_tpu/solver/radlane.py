@@ -44,7 +44,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sbdart_tpu.constants import DTAU_MIN
+from sbdart_tpu.constants import DTAU_MIN, slope_tau_floor
 from sbdart_tpu.solver.deltam import apply_deltam
 from sbdart_tpu.solver.eig import angular_tables
 from sbdart_tpu.solver.planck import planck_band
@@ -71,7 +71,7 @@ def solve_rte_radiance_lane(
     dtauc, ssalb_in, pmom, *,
     nstr, fbeam, umu0, phi0, fisot, albedo,
     planck, temper, wvnlo, wvnhi, btemp, ttemp, temis,
-    deltam, umu, phi, corint, dtype, interpret=False,
+    deltam, umu, phi, corint, dtype, brdf=None, interpret=False,
 ):
     """Radiance-mode solve, lane-resident.  Inputs batch-major and already
     broadcast (as in solve_rte); returns RteOutputs with uu filled."""
@@ -240,29 +240,63 @@ def solve_rte_radiance_lane(
                           ).astype(dtype)
         )
 
-    # ---- surface operators (Lambertian: azimuth mode 0 only) -------------
+    # ---- surface operators ------------------------------------------------
+    # Lambertian: azimuth mode 0 only; BRDF (round 5): per-mode Fourier
+    # reflection matrices feed the SAME BVP kernel (it takes a general
+    # refl_op), so the lane path no longer falls back to the generic
+    # solver for lamber=.false. radiance runs
     beam_flux_surf = mu0 * jnp.where(has_beam, fbeam, 0.0) * expbea_s[..., -1]
     mode0 = jnp.zeros((nm,), dtype).at[0].set(1.0)
-    refl_op = (
-        2.0 * alb_flat[None, None, None, :]
-        * wmu[None, :, None, None]
-        * mode0[None, None, :, None]
-        * jnp.ones((n, 1, 1, 1), dtype)
-    ).reshape(n, n, mb)                                  # [N, N, MB]
-    bref = (
-        ((albedo / jnp.pi) * beam_flux_surf).reshape(bc)[None, None, :]
-        * mode0[None, :, None]
-        * jnp.ones((n, 1, 1), dtype)
-    ).reshape(n, mb)
+    mfac_v = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), dtype)
+    if brdf is None:
+        refl_op = (
+            2.0 * alb_flat[None, None, None, :]
+            * wmu[None, :, None, None]
+            * mode0[None, None, :, None]
+            * jnp.ones((n, 1, 1, 1), dtype)
+        ).reshape(n, n, mb)                              # [N, N, MB]
+        bref = (
+            ((albedo / jnp.pi) * beam_flux_surf).reshape(bc)[None, None, :]
+            * mode0[None, :, None]
+            * jnp.ones((n, 1, 1), dtype)
+        ).reshape(n, mb)
+        semis = (
+            surf_emission.reshape(bc)[None, None, :]
+            * mode0[None, :, None]
+            * jnp.ones((n, 1, 1), dtype)
+        ).reshape(n, mb)
+    else:
+        from sbdart_tpu.solver.brdf import (
+            fourier_refl_matrices,
+            hemispherical_reflectance,
+        )
+
+        r_m = fourier_refl_matrices(brdf, mu, mu, nm, dtype)   # [m, N, N]
+        refl_op = jnp.broadcast_to(
+            (jnp.moveaxis(r_m, 0, -1) * wmu[None, :, None])[:, :, :, None],
+            (n, n, nm, bc),
+        ).reshape(n, n, mb)                              # R[i,j] w_j mu_j
+        r_beam = fourier_refl_matrices(
+            brdf, mu, mu0.reshape(bc)[:, None], nm, dtype
+        )[..., 0]                                        # [bc, m, N]
+        bref = jnp.transpose(
+            r_beam * mfac_v[None, :, None] / (2.0 * jnp.pi)
+            * beam_flux_surf.reshape(bc)[:, None, None],
+            (2, 1, 0),
+        ).reshape(n, mb)
+        if planck:
+            r_dh = hemispherical_reflectance(brdf, mu, tab.w, tab.mu, dtype)
+            bs_surf = surf_emission.reshape(bc) / jnp.maximum(
+                1.0 - alb_flat, 1e-12
+            )
+            semis_vec = (1.0 - r_dh)[:, None] * bs_surf[None, :]   # [N, bc]
+        else:
+            semis_vec = jnp.zeros((n, bc), dtype)
+        semis = (semis_vec[:, None, :] * mode0[None, :, None]).reshape(n, mb)
     iso = (
         (jnp.broadcast_to(jnp.asarray(fisot, dtype), batch) + top_emission)
         .reshape(bc)[None, :] * mode0[:, None]
     ).reshape(mb)
-    semis = (
-        surf_emission.reshape(bc)[None, None, :]
-        * mode0[None, :, None]
-        * jnp.ones((n, 1, 1), dtype)
-    ).reshape(n, mb)
 
     # ---- BVP rhs + solve (SETMTX/SOLVE0, all modes) ----------------------
     r_top0 = iso[None, :] - p_td[0]
@@ -400,7 +434,9 @@ def solve_rte_radiance_lane(
         emis_s = 1.0 - _to_scan(dm.ssalb)               # [L, Bc]
         btop_s = _to_scan(thermal.b_top)
         bbot_s = _to_scan(thermal.b_bot)
-        b1_s = (bbot_s - btop_s) / jnp.maximum(dtau_scan, DTAU_MIN)
+        b1_s = (bbot_s - btop_s) / jnp.maximum(
+            dtau_scan, slope_tau_floor(dtype)
+        )
         st0_0 = (jnp.einsum("lSB,lu,lSB->SuB", c3, ylm_u0, chi_y0)
                  + (emis_s * btop_s)[:, None, :])
         st1_0 = (jnp.einsum("lSB,lu,lSB->SuB", c3, ylm_u0, chi_y1)
@@ -420,9 +456,6 @@ def solve_rte_radiance_lane(
 
     fdir_bot = (mu0 * jnp.where(has_beam, fbeam, 0.0)).reshape(bc) \
         * eb[-1]                                        # [Bc]
-    fdn_bot = 2.0 * jnp.einsum("j,jB->B", wmu, dn0[-1])
-    i_surf0 = (surf_emission.reshape(bc)
-               + alb_flat * (fdir_bot / jnp.pi + fdn_bot))
     i_top0 = (jnp.broadcast_to(jnp.asarray(fisot, dtype), batch)
               .reshape(bc) + top_emission.reshape(bc))
 
@@ -445,6 +478,54 @@ def solve_rte_radiance_lane(
     # small [L, U, P, Bc] payload
     jt = jnp.einsum("muSB,mpB->SupB", j_modes_r, cosm)  # [L, U, P, Bc]
 
+    # ---- surface radiance start for the upward scans ---------------------
+    # Lambertian: isotropic (mode 0, cos(0) = 1 broadcast).  BRDF: per-mode
+    # reflection of the all-mode surface downwelling field + direct beam,
+    # azimuth-folded with the same cos(m dphi) as the layer sources (the
+    # fold commutes with the scan: transmission is mode-independent).
+    if brdf is None:
+        fdn_bot = 2.0 * jnp.einsum("j,jB->B", wmu, dn0[-1])
+        i_surf0 = (surf_emission.reshape(bc)
+                   + alb_flat * (fdir_bot / jnp.pi + fdn_bot))
+        i_surf_up = None
+    else:
+        # all-mode downwelling at the surface: one layer of matvecs
+        dn_surf = (
+            jnp.sum((gm[-1] * ee[-1][None, :, :]) * a[-1][None, :, :], axis=1)
+            + jnp.sum(gp[-1] * b[-1][None, :, :], axis=1)
+            + p_bd[-1]
+        )                                               # [N, MB]
+        dn_surf_m = dn_surf.reshape(n, nm, bc)
+        u_up_j = jnp.asarray(np.abs(umu[up_idx]), dtype) if len(up_idx) \
+            else jnp.zeros((0,), dtype)
+        if len(up_idx):
+            r_user = fourier_refl_matrices(brdf, u_up_j, mu, nm, dtype)
+            refl_diff = jnp.einsum(
+                "muj,j,jmB->muB", r_user, wmu, dn_surf_m
+            )                                           # [m, Uu, Bc]
+            r_bu = fourier_refl_matrices(
+                brdf, u_up_j, mu0.reshape(bc)[:, None], nm, dtype
+            )[..., 0]                                   # [bc, m, Uu]
+            refl_beam_u = (
+                jnp.moveaxis(r_bu, 0, -1)
+                * mfac_v[:, None, None] / (2.0 * jnp.pi)
+                * fdir_bot[None, None, :]
+            )
+            i_surf_m = refl_diff + refl_beam_u
+            if planck:
+                r_dh_u = hemispherical_reflectance(
+                    brdf, u_up_j, tab.w, tab.mu, dtype
+                )
+                bs_surf = surf_emission.reshape(bc) / jnp.maximum(
+                    1.0 - alb_flat, 1e-12
+                )
+                i_surf_m = i_surf_m.at[0].add(
+                    (1.0 - r_dh_u)[:, None] * bs_surf[None, :]
+                )
+            i_surf_up = jnp.einsum("muB,mpB->upB", i_surf_m, cosm)
+        else:
+            i_surf_up = jnp.zeros((0, nphi, bc), dtype)
+
     def scan_up(u_vals, idx):
         u = jnp.asarray(u_vals, dtype)                  # [Uu]
         e_lay = jnp.exp(-dtau_r[:, :, 0] / u[None, :, None, None])
@@ -455,9 +536,12 @@ def solve_rte_radiance_lane(
                              - (dtau_r[:, :, 0] + u[None, :, None, None])
                              * e_lay)
         )                                               # [L, U, P, Bc]
-        i_surf = jnp.broadcast_to(
-            i_surf0[None, None, :], (len(u_vals), nphi, bc)
-        )
+        if i_surf_up is None:
+            i_surf = jnp.broadcast_to(
+                i_surf0[None, None, :], (len(u_vals), nphi, bc)
+            )
+        else:
+            i_surf = i_surf_up
 
         def step(carry, inp):
             j_l, e_l = inp

@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sbdart_tpu.constants import DTAU_MIN
+from sbdart_tpu.constants import DTAU_MIN, slope_tau_floor
 from sbdart_tpu.ops import lane
 from sbdart_tpu.solver.eig import AngularTables
 from sbdart_tpu.solver.legendre import legendre_assoc_norm
@@ -191,7 +191,7 @@ def thermal_particular(
     w = jnp.asarray(tab.w, dtype)
     b_top = b_level[..., :-1]
     b_bot = b_level[..., 1:]
-    b1 = (b_bot - b_top) / jnp.maximum(dtau, DTAU_MIN)
+    b1 = (b_bot - b_top) / jnp.maximum(dtau, slope_tau_floor(dtype))
 
     # Reduced N x N solves via the +- symmetry (the emission source is
     # up/down symmetric, so the difference components collapse):

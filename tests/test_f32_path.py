@@ -144,6 +144,42 @@ def test_f32_production_path_matches_f64(case, nstr):
         assert e < tol, (case, nstr, "uu", e)
 
 
+def test_f32_thermal_thin_band_slope_stability():
+    """Optically THIN thermal bands: f32 paths must track f64 (round 5).
+
+    The linear-in-tau Planck slope b1 = dB/dtau amplifies the Planck
+    function's f32 rounding by 1/dtau and enters the BVP rhs through the
+    thermal particular solution undamped by dtau.  Before the
+    slope_tau_floor fix (constants.py), two CORRECT f32 paths disagreed
+    by 3x on TOA flux at dtau ~ 1e-5 thermal bands and the f32 TPU
+    pipeline carried +51% OLR for the subarctic-winter column.  This
+    pins both f32 paths against f64 on exactly that regime: a cold
+    column with per-layer dtau spanning 1e-7..1e-2 in a 20 cm^-1 band.
+    """
+    nlyr = 32
+    rng = np.random.default_rng(12)
+    dtau = 10.0 ** rng.uniform(-7.0, -2.0, nlyr)
+    ssalb = np.full(nlyr, 1e-4)
+    pmom = np.zeros((nlyr, 5))
+    pmom[:, 0] = 1.0
+    temper = np.linspace(211.0, 257.0, nlyr + 1)
+    kw = dict(nstr=4, fbeam=0.0, umu0=1.0, albedo=0.05, planck=True,
+              temper=temper, wvnlo=1660.0, wvnhi=1680.0,
+              btemp=257.1, temis=0.0, onlyfl=True)
+
+    def run(dt, meth, bvp):
+        return solve_rte(jnp.asarray(dtau, dt), jnp.asarray(ssalb, dt),
+                         jnp.asarray(pmom, dt), dtype=dt, eig_method=meth,
+                         bvp_method=bvp, **kw)
+
+    ref = run(jnp.float64, "xla", "scan")
+    for meth, bvp in (("lane", "scan"), ("fused_interpret", "auto")):
+        out = run(jnp.float32, meth, bvp)
+        for name in ("rfldn", "flup", "uavg"):
+            e = _rel_err(getattr(out, name), getattr(ref, name), floor=1e-3)
+            assert e < 3e-3, (meth, name, e)
+
+
 @pytest.mark.tpu
 def test_f64_island_on_tpu():
     """The f32 conservative-limit floor HAS an on-chip mitigation (round-3

@@ -77,6 +77,22 @@ def test_radlane_matches_generic(nstr, planck, beam):
     _compare(o_lan, o_gen, 5e-4)
 
 
+@pytest.mark.parametrize("planck", [False, pytest.param(True,
+                                                        marks=pytest.mark.slow)])
+def test_radlane_brdf_matches_generic(planck):
+    """BRDF (lamber=.false.) radiance through the lane path == generic
+    path: per-mode Fourier reflection matrices in the BVP plus the
+    azimuth-folded surface radiance start (round 5 — previously BRDF
+    radiance silently fell back to the ~5x-slower generic path)."""
+    from sbdart_tpu.solver.brdf import HapkeBrdf
+
+    args, kw = _radiance_problem(8, 5, 6, planck=planck)
+    brdf = HapkeBrdf(b0=1.0, hh=0.06, w=0.6)
+    o_lan = solve_rte(*args, eig_method="fused_interpret", brdf=brdf, **kw)
+    o_gen = solve_rte(*args, eig_method="lane", brdf=brdf, **kw)
+    _compare(o_lan, o_gen, 5e-4)
+
+
 def test_radlane_corint_off_matches_generic():
     """corint=False (no TMS/IMS) exercises the pure Fourier-sum output."""
     args, kw = _radiance_problem(16, 5, 4)
