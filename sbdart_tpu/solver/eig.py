@@ -106,9 +106,12 @@ def solve_eigen(
 
         on_tpu = _on_tpu()
         # fused Pallas kernel: even reduced dimension (parallel Jacobi
-        # schedule) and n <= 8 (constants are unrolled as scalar code —
+        # schedule), n <= 8 (constants are unrolled as scalar code —
         # n=8 covers every BASELINE config; bigger n falls back to lane)
-        if on_tpu and n <= 8 and n % 2 == 0:
+        # and f32 ONLY (Mosaic kernels trace with x64 disabled; an f64
+        # request — the accuracy-island path — dispatches the pure-jnp
+        # lane chain, which the TPU f64 emulation compiles)
+        if on_tpu and n <= 8 and n % 2 == 0 and jnp.dtype(dtype) == jnp.float32:
             eig_method = "pallas"
         elif on_tpu and n <= 16:
             eig_method = "lane"

@@ -13,6 +13,12 @@ import sys
 # SBDART_TPU_TESTS=1 opts out, letting the @pytest.mark.tpu tests run the
 # non-interpret kernels on real hardware.
 _ON_TPU = os.environ.get("SBDART_TPU_TESTS") == "1"
+if _ON_TPU and os.environ.get("PYTEST_XDIST_WORKER"):
+    raise RuntimeError(
+        "TPU tests must run SERIALLY: two processes contend ~1000x on the "
+        "single tunneled chip.  Re-run with `-n 0` (pyproject's default "
+        "addopts add -n 2 for the CPU suite)."
+    )
 if not _ON_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")
@@ -38,3 +44,4 @@ _CACHE_DIR = os.environ.get(
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+

@@ -71,7 +71,7 @@ def test_radlane_matches_generic(nstr, planck, beam):
     beamless-isotropic, and both kernel specializations (n=2 closed form,
     n=8 Jacobi).  Small shapes — the Pallas interpreter is ~10^3x slower
     than compiled and this check pins MATH equivalence only."""
-    args, kw = _radiance_problem(nstr, 6, 8, planck=planck, beam=beam)
+    args, kw = _radiance_problem(nstr, 5, 3, planck=planck, beam=beam)
     o_lan = solve_rte(*args, eig_method="fused_interpret", **kw)
     o_gen = solve_rte(*args, eig_method="lane", **kw)
     _compare(o_lan, o_gen, 5e-4)
@@ -86,7 +86,7 @@ def test_radlane_brdf_matches_generic(planck):
     radiance silently fell back to the ~5x-slower generic path)."""
     from sbdart_tpu.solver.brdf import HapkeBrdf
 
-    args, kw = _radiance_problem(8, 5, 6, planck=planck)
+    args, kw = _radiance_problem(8, 4, 2, planck=planck)
     brdf = HapkeBrdf(b0=1.0, hh=0.06, w=0.6)
     o_lan = solve_rte(*args, eig_method="fused_interpret", brdf=brdf, **kw)
     o_gen = solve_rte(*args, eig_method="lane", brdf=brdf, **kw)
@@ -95,7 +95,7 @@ def test_radlane_brdf_matches_generic(planck):
 
 def test_radlane_corint_off_matches_generic():
     """corint=False (no TMS/IMS) exercises the pure Fourier-sum output."""
-    args, kw = _radiance_problem(16, 5, 4)
+    args, kw = _radiance_problem(16, 4, 2)
     o_lan = solve_rte(*args, eig_method="fused_interpret", corint=False, **kw)
     o_gen = solve_rte(*args, eig_method="lane", corint=False, **kw)
     _compare(o_lan, o_gen, 5e-4)
@@ -103,7 +103,7 @@ def test_radlane_corint_off_matches_generic():
 
 def test_radlane_upward_only_angles():
     """umu all positive: the downward scan branch is absent (static)."""
-    args, kw = _radiance_problem(4, 5, 4)
+    args, kw = _radiance_problem(4, 4, 2)
     kw["umu"] = np.array([0.4, 0.8])
     o_lan = solve_rte(*args, eig_method="fused_interpret", **kw)
     o_gen = solve_rte(*args, eig_method="lane", **kw)

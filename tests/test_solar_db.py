@@ -18,8 +18,10 @@ class TestSolarDatabases:
         assert np.abs(e2 - e3).max() > 1.0
         assert np.abs(e1 - e3).max() > 1.0
 
-    @pytest.mark.parametrize("nf,tsi", [(1, 1358.0), (2, 1368.0), (3, 1362.0)])
+    @pytest.mark.parametrize("nf,tsi", [(1, 1358.0), (2, 1368.0), (3, 1367.0)])
     def test_solar_constants(self, nf, tsi):
+        """Documented solar constants: 5S 1358, LOWTRAN7 1368, and the
+        WRC/Frohlich standard 1367 for the nf=3 (WRC-class) table."""
         wl, e = solar_table(nf)
         assert np.trapezoid(e, wl) == pytest.approx(tsi, rel=1e-6)
 
@@ -38,6 +40,40 @@ class TestSolarDatabases:
     def test_modtran_lines_deeper_than_lowtran(self):
         wl = np.array([0.6563])
         assert solar_irradiance(wl, 3)[0] < solar_irradiance(wl, 2)[0]
+
+    def test_nf3_line_equivalent_width_preserved(self):
+        """The nf=2/nf=3 line distinction is resolution, not absorption:
+        the H-alpha equivalent width W = int (1 - E/E_cont) dlambda must
+        agree between the two tables (round 5 — replaces the round-4
+        invented depth/width overlay factors with the derived
+        EW-preserving pair depth x 1/gamma, width x gamma)."""
+        wl = np.arange(0.650, 0.663, 0.0002)
+        ews = {}
+        for nf in (2, 3):
+            e = solar_irradiance(wl, nf)
+            cont = np.interp(wl, [wl[0], wl[-1]], [e[0], e[-1]])
+            ews[nf] = np.trapezoid(1.0 - e / cont, wl)
+        assert ews[2] == pytest.approx(ews[3], rel=0.05), ews
+        # and the center dip IS deeper at higher resolution
+        i_c = np.argmin(np.abs(wl - 0.6563))
+        e2 = solar_irradiance(wl, 2)
+        e3 = solar_irradiance(wl, 3)
+        cont_rat = (e3[0] / e2[0])
+        assert e3[i_c] / e2[i_c] < cont_rat * 0.95
+
+    def test_nf3_uv_correction_documented_magnitude(self):
+        """nf=3 carries the documented Thekaekara-vs-WRC UV bias: the
+        0.20-0.29 um band reads 10-15% LOWER than nf=2 (after TSI
+        renormalization), converging above 0.34 um."""
+        g_uv = np.linspace(0.20, 0.29, 200)
+        g_vis = np.linspace(0.40, 0.70, 400)
+        r_uv = (np.trapezoid(solar_irradiance(g_uv, 3), g_uv)
+                / np.trapezoid(solar_irradiance(g_uv, 2), g_uv))
+        r_vis = (np.trapezoid(solar_irradiance(g_vis, 3), g_vis)
+                 / np.trapezoid(solar_irradiance(g_vis, 2), g_vis))
+        assert 0.83 < r_uv < 0.92, r_uv
+        # visible unchanged apart from TSI renormalization (1367/1368)
+        assert r_vis == pytest.approx(1367.0 / 1368.0, abs=0.01), r_vis
 
     def test_unknown_db_raises(self):
         with pytest.raises(ValueError, match="nf"):
@@ -148,6 +184,36 @@ class TestFilters:
         cfg = Config(isat=7)   # AVHRR ch4: 10.3-11.3 um
         wl = np.array([10.8])
         assert filter_function(cfg, wl)[0] == pytest.approx(1.0)
+
+    @pytest.mark.parametrize(
+        "isat,lo50,hi50",
+        [(6, 3.55, 3.93), (7, 10.3, 11.3), (8, 11.5, 12.5),
+         (9, 5.7, 7.1), (10, 10.5, 12.5)],
+    )
+    def test_thermal_wv_channels_figure_level(self, isat, lo50, hi50):
+        """Round 5: the thermal/WV channels carry figure-level measured
+        curves — 50% response EXACTLY at the documented band limits,
+        single-peaked with curved shoulders (not a flat trapezoid), and
+        equivalent width consistent with the 50% band width."""
+        wl = np.arange(lo50 - 1.5, hi50 + 1.8, 0.005)
+        r = filter_function(Config(isat=isat), wl)
+        # 50% points pinned at the documented limits
+        assert np.interp(lo50, wl, r) == pytest.approx(0.5, abs=0.02)
+        assert np.interp(hi50, wl, r) == pytest.approx(0.5, abs=0.02)
+        # curved response: a finite interval strictly between 10% and 90%
+        mid = (r > 0.1) & (r < 0.9)
+        assert mid.sum() >= 20, isat
+        # equivalent width brackets the 50% band width (shoulders add,
+        # rounding near the peak subtracts)
+        w50 = hi50 - lo50
+        ew = np.trapezoid(r, wl)
+        assert 0.85 * w50 < ew < 1.35 * w50, (isat, ew, w50)
+        # single-peaked: once below 90% past the peak, never back above
+        ipk = int(np.argmax(r))
+        after = r[ipk:]
+        drops = np.where(after < 0.9)[0]
+        if drops.size:
+            assert after[drops[0]:].max() < 0.95
 
     def test_catalog_and_unknown_raises(self):
         assert 1 in filter_list() and len(filter_list()) >= 10
