@@ -446,6 +446,11 @@ def main() -> None:
     rate4_k8 = _throughput(nstr=4, nlyr=33, nbc=16384, K=8)
     rate16 = _throughput(nstr=16, nlyr=65, nbc=2048)
     rate_rad = _radiance_throughput()
+    # K=32 companion: the K=16 number keeps round-4 comparability but
+    # still pays ~9% of the ~25 ms tunnel dispatch per chain; the deeper
+    # chain is the truer device throughput (cf. measured_rooflines
+    # rad16_path device_total_ms for the dispatch-free rate)
+    rate_rad32 = _radiance_throughput(K=32)
     sol_bvp = _bvp_fused_sol()
     sol_eig = _eig_lane_sol()
     rooflines = None
@@ -491,6 +496,7 @@ def main() -> None:
             },
             "nstr16_nlyr65_bc_per_s": round(rate16, 1),
             "nstr16_radiance_bc_per_s": round(rate_rad, 1),
+            "nstr16_radiance_K32_bc_per_s": round(rate_rad32, 1),
             "bvp_fused_sol_pct": None if sol_bvp != sol_bvp else round(sol_bvp, 1),
             "eig_lane_sol_pct": None if sol_eig != sol_eig else round(sol_eig, 1),
             "measured_rooflines": rooflines,

@@ -376,15 +376,20 @@ def _eig_lane_call(cppl, cpml, *, mu_t, w_t, sweeps, tile_b, interpret):
 
 
 # Default Jacobi sweep count: measured on physics matrices at n=8 (incl.
-# near-conservative ssalb up to 1 - 1e-6): eigenvalue error and residual hit
-# the f32 floor by sweep 3 and are bit-stable from sweep 4 on.  Round 4
-# trims the round-3 default 6 -> 4 (the measured bit-stable point):
-# trace-measured kernel time at the radiance shape (n=8, 266k lanes)
-# drops 12.2 -> 9.3 ms, and the full accuracy battery (fused-vs-lane
-# equivalence at 5e-4, the f32-vs-f64 path bounds incl. the conservative
-# limit, and the adding-doubling suite) holds at its existing bars —
-# the "margin" sweeps 5-6 were provably idle work.
-DEFAULT_SWEEPS = 4
+# near-conservative ssalb up to 1 - 1e-6).  Round 4 trimmed 6 -> 4;
+# round 5 re-measured the eigen-relation residuals per sweep:
+#     sweeps=2: 8.8e-7 / 1.45e-2   (under-converged)
+#     sweeps=3: 1.0e-6 / 8.73e-3   <- converged
+#     sweeps=4: 1.0e-6 / 8.73e-3   (identical digits)
+#     sweeps=5: 1.0e-6 / 8.73e-3   (identical digits)
+# (second number is the near-conservative-conditioning-dominated
+# (a+b)Y residual, the same at every sweep >= 3) — so sweep 4 was
+# provably idle work by exactly the round-4 argument, and the full
+# battery (fused-vs-lane 5e-4, f32-vs-f64 bounds incl. conservative
+# limit, adding-doubling suite, radlane equivalence, SLOW set included)
+# holds at its existing bars at 3.  Kernel time at the radiance shape
+# drops 8.2 -> 6.7 ms.
+DEFAULT_SWEEPS = 3
 
 
 def eig_chain_lane_fused(

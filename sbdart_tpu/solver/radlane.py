@@ -20,15 +20,21 @@ fused kernel (pallas/radsrc.py) whose intermediates never leave VMEM, and
 the azimuth Fourier sum is folded into the per-layer source before the
 path recursion (the per-layer transmission is mode-independent), so the
 layer scans carry nphi azimuths instead of nstr modes.  Measured end
-state (round 4): 23.8 ms/solve at the bench shape — eig+beam ~11 ms,
-block-Thomas ~7 ms, radsrc 0.7 ms, glue ~4 ms — vs ~60 ms generic.
+state (round 5): ~15.7 ms/solve device time at the bench shape —
+eig+beam 6.7 ms (3 Jacobi sweeps, the measured convergence point),
+block-Thomas 5.2 ms (rank-N factor history), radsrc 0.9 ms, glue
+~2.9 ms spread over many small relayout fusions (largest single op
+0.3 ms) — vs ~60 ms generic in round 3.
 
 Engaged from solve_rte for: radiance runs (onlyfl=False, umu given),
-Lambertian surface, f32, N = nstr/2 even and <= 8, all nstr modes, on TPU
-(or interpret for tests).  Everything else falls back to the generic path;
-equivalence is pinned by tests/test_radlane.py (interpret mode vs the
-generic path, a TPU-gated cross-path case, and a TPU-gated
-padding-consistency case at the unaligned production batch).
+Lambertian OR BRDF surface (round 5: per-mode Fourier reflection
+matrices feed the same BVP kernel; the surface radiance start reflects
+the all-mode surface downwelling field), f32, N = nstr/2 even and <= 8,
+all nstr modes, on TPU (or interpret for tests).  Everything else falls
+back to the generic path (cost table in docs/USERGUIDE.md); equivalence
+is pinned by tests/test_radlane.py (interpret mode vs the generic path,
+BRDF solar+thermal cases, a TPU-gated cross-path case, and TPU-gated
+padding-consistency cases at unaligned batches).
 
 Reference map: DISORT's per-mode loop (SOLEIG + UPBEAM + SETMTX + SOLVE0 +
 USRINT/CMPINT per m, then the cos(m dphi) Fourier sum — disort.f, SURVEY.md
