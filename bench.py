@@ -30,7 +30,6 @@ section 7) — treat the ratio as an order-of-magnitude indicator only.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time

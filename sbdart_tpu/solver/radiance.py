@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sbdart_tpu.constants import DTAU_MIN, slope_tau_floor
+from sbdart_tpu.constants import slope_tau_floor
 from sbdart_tpu.solver.deltam import DeltaMResult
 from sbdart_tpu.solver.eig import AngularTables, EigResult
 from sbdart_tpu.solver.bvp import BvpSolution, BoundaryIntensities

@@ -50,7 +50,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sbdart_tpu.constants import DTAU_MIN, slope_tau_floor
+from sbdart_tpu.constants import slope_tau_floor
 from sbdart_tpu.solver.deltam import apply_deltam
 from sbdart_tpu.solver.eig import angular_tables
 from sbdart_tpu.solver.planck import planck_band
@@ -253,7 +253,6 @@ def solve_rte_radiance_lane(
     # solver for lamber=.false. radiance runs
     beam_flux_surf = mu0 * jnp.where(has_beam, fbeam, 0.0) * expbea_s[..., -1]
     mode0 = jnp.zeros((nm,), dtype).at[0].set(1.0)
-    mfac_v = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), dtype)
     if brdf is None:
         refl_op = (
             2.0 * alb_flat[None, None, None, :]
@@ -286,7 +285,7 @@ def solve_rte_radiance_lane(
             brdf, mu, mu0.reshape(bc)[:, None], nm, dtype
         )[..., 0]                                        # [bc, m, N]
         bref = jnp.transpose(
-            r_beam * mfac_v[None, :, None] / (2.0 * jnp.pi)
+            r_beam * mfac[None, :, None] / (2.0 * jnp.pi)
             * beam_flux_surf.reshape(bc)[:, None, None],
             (2, 1, 0),
         ).reshape(n, mb)
@@ -514,7 +513,7 @@ def solve_rte_radiance_lane(
             )[..., 0]                                   # [bc, m, Uu]
             refl_beam_u = (
                 jnp.moveaxis(r_bu, 0, -1)
-                * mfac_v[:, None, None] / (2.0 * jnp.pi)
+                * mfac[:, None, None] / (2.0 * jnp.pi)
                 * fdir_bot[None, None, :]
             )
             i_surf_m = refl_diff + refl_beam_u

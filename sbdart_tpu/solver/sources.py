@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sbdart_tpu.constants import DTAU_MIN, slope_tau_floor
+from sbdart_tpu.constants import slope_tau_floor
 from sbdart_tpu.ops import lane
 from sbdart_tpu.solver.eig import AngularTables
 from sbdart_tpu.solver.legendre import legendre_assoc_norm
