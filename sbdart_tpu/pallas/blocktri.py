@@ -681,6 +681,15 @@ def block_thomas_rt(
     m = 2 * n
     dtype = gp.dtype
 
+    # n=2 (the nstr=4 primary path): planar full-sublane kernel (every
+    # block entry its own [8, B/8] plane — see _rt_kernel_planar)
+    if n == 2:
+        xs = _block_thomas_rt_planar_n2(
+            gp, gm, ee, refl, rhs, interpret=interpret
+        )
+        if xs is not None:
+            return xs
+
     # per-lane f32 working set: gp+gm+ee inputs, rhs/xs/ys, and the FULL
     # [2N, 2N] factor history (the single-pass kernel keeps full W — see
     # _rt_kernel docstring), + refl and temporaries
@@ -733,4 +742,253 @@ def block_thomas_rt(
             ],
             interpret=interpret,
         )(gp, gm, ee, refl, rhs)
+    return xs[..., :b] if pad else xs
+
+
+# --------------------------------------------------------------------------
+# PLANAR n=2 single-pass kernel (round 5).  At n = 2 (the nstr=4 primary
+# path) every op in _rt_kernel is shaped [4, w, TB] or [4, TB]: the
+# second-to-last dim maps to SUBLANES, so at most half of each (8, 128)
+# tile does work.  Here every block ENTRY is its own [8, B/8] plane — a
+# free row-major reshape of the lane axis done outside the kernel — and
+# all arithmetic runs on full tiles.  Same math as _rt_kernel (full-W
+# history, shrinking pivoted GE with the identical first-max pivot rule);
+# equivalence rides the existing block_thomas_rt interpret + TPU tests,
+# which dispatch here for every n=2 shape.
+# --------------------------------------------------------------------------
+
+
+def _planar_solve4(dt, rhs_cols):
+    """Pivoted shrinking GE on planes.
+
+    dt: 4x4 nested list of [S, tb] planes; rhs_cols: list of r columns,
+    each a list of 4 row planes.  Returns list of r solution columns
+    (each 4 planes).  Pivot rule identical to _solve_step: first row of
+    maximal |leading entry| among uneliminated rows.
+    """
+    m = 4
+    aug = [[dt[i][j] for i in range(m)] for j in range(m)] + \
+        [list(c) for c in rhs_cols]
+    elim = [None] * m
+    prows = []
+    for k in range(m):
+        lead = aug[0]
+        cand = []
+        for i in range(m):
+            c = jnp.abs(lead[i])
+            if elim[i] is not None:
+                c = jnp.where(elim[i], -1.0, c)
+            cand.append(c)
+        mx = jnp.maximum(jnp.maximum(cand[0], cand[1]),
+                         jnp.maximum(cand[2], cand[3]))
+        sel = []
+        taken = None
+        for i in range(m):
+            s_i = cand[i] == mx
+            if taken is not None:
+                s_i = s_i & (~taken)
+                taken = taken | s_i
+            else:
+                taken = s_i
+            sel.append(s_i)
+        pv = sum(jnp.where(sel[i], lead[i], 0.0) for i in range(m))
+        inv = 1.0 / pv
+        fac = []
+        for i in range(m):
+            f = lead[i] * inv
+            mask = sel[i] if elim[i] is None else (elim[i] | sel[i])
+            fac.append(jnp.where(mask, 0.0, f))
+        tail = []
+        new_aug = []
+        for col in aug[1:]:
+            rp = sum(jnp.where(sel[i], col[i], 0.0) for i in range(m))
+            tail.append(rp)
+            new_aug.append([col[i] - fac[i] * rp for i in range(m)])
+        aug = new_aug
+        prows.append((pv, tail))
+        elim = [sel[i] if elim[i] is None else (elim[i] | sel[i])
+                for i in range(m)]
+    r = len(rhs_cols)
+    x = [None] * m
+    for i in reversed(range(m)):
+        pv, tail = prows[i]            # tail: a_{i,i+1..3} then r rhs cols
+        s = list(tail[m - i - 1:])
+        for j in range(i + 1, m):
+            aij = tail[j - i - 1]
+            s = [s[t] - aij * x[j][t] for t in range(r)]
+        x[i] = [s[t] / pv for t in range(r)]
+    return [[x[i][t] for i in range(m)] for t in range(r)]   # r columns
+
+
+def _rt_kernel_planar(gp_ref, gm_ref, ee_ref, refl_ref, rhs_ref,
+                      xs_ref, ws_ref, ys_ref):
+    """Planar n=2 fused assemble+solve; refs carry entry planes:
+    gp/gm [L, 4, S, tb] (11,12,21,22), ee [L, 2, S, tb], refl [4, S, tb],
+    rhs/xs [L, 4, S, tb], ws scratch [L, 16, S, tb], ys [L, 4, S, tb]."""
+    nlyr = gp_ref.shape[0]
+    s_dim, tb = gp_ref.shape[-2], gp_ref.shape[-1]
+    dtype = gp_ref.dtype
+
+    refl_p = refl_ref[...]
+    rmat = [[refl_p[0], refl_p[1]], [refl_p[2], refl_p[3]]]
+
+    def mats(l):
+        g = gp_ref[pl.ds(l, 1)][0]
+        h = gm_ref[pl.ds(l, 1)][0]
+        e = ee_ref[pl.ds(l, 1)][0]
+        gp2 = [[g[0], g[1]], [g[2], g[3]]]
+        gm2 = [[h[0], h[1]], [h[2], h[3]]]
+        gpe = [[gp2[i][j] * e[j] for j in range(2)] for i in range(2)]
+        gme = [[gm2[i][j] * e[j] for j in range(2)] for i in range(2)]
+        return gp2, gm2, gpe, gme
+
+    def fwd(l, carry):
+        w_arr, y_arr = carry           # [16, S, tb], [4, S, tb]
+        w_prev = [[w_arr[4 * i + j] for j in range(4)] for i in range(4)]
+        y_prev = [y_arr[i] for i in range(4)]
+        gp2, gm2, gpe, gme = mats(l)
+
+        last = jnp.where(l == nlyr - 1, jnp.ones((), dtype),
+                         jnp.zeros((), dtype))
+        # diag = [[gm, gpe], [gpe, gm]] - last * [[0,0],[R gme, R gp]]
+        d = [[None] * 4 for _ in range(4)]
+        for i in range(2):
+            for j in range(2):
+                d[i][j] = gm2[i][j]
+                d[i][2 + j] = gpe[i][j]
+                rg_me = rmat[i][0] * gme[0][j] + rmat[i][1] * gme[1][j]
+                rg_p = rmat[i][0] * gp2[0][j] + rmat[i][1] * gp2[1][j]
+                d[2 + i][j] = gpe[i][j] - last * rg_me
+                d[2 + i][2 + j] = gm2[i][j] - last * rg_p
+
+        # lower block rows (from layer l-1)
+        lm1 = jnp.maximum(l - 1, 0)
+        has_low = jnp.where(l > 0, jnp.ones((), dtype), jnp.zeros((), dtype))
+        gpm, gmm, gpem, gmem = mats(lm1)
+        lt = [[None] * 4 for _ in range(2)]
+        for i in range(2):
+            for j in range(2):
+                lt[i][j] = -has_low * gmem[i][j]
+                lt[i][2 + j] = -has_low * gpm[i][j]
+
+        r_l = rhs_ref[pl.ds(l, 1)][0]
+        rt = [r_l[i] for i in range(4)]
+        dt = [[d[i][j] for j in range(4)] for i in range(4)]
+        for i in range(2):
+            corr_r = sum(lt[i][k] * y_prev[k] for k in range(4))
+            rt[i] = rt[i] - corr_r
+            for j in range(4):
+                corr = sum(lt[i][k] * w_prev[k][j] for k in range(4))
+                dt[i][j] = dt[i][j] - corr
+
+        # upper block (bottom rows, from layer l+1)
+        lp1 = jnp.minimum(l + 1, nlyr - 1)
+        has_up = jnp.where(l < nlyr - 1, jnp.ones((), dtype),
+                           jnp.zeros((), dtype))
+        gpp, gmp, gpep, gmep = mats(lp1)
+        zero = jnp.zeros_like(rt[0])
+        ucols = []
+        for j in range(4):
+            col = [zero, zero, None, None]
+            for i in range(2):
+                if j < 2:
+                    col[2 + i] = -has_up * gpp[i][j]
+                else:
+                    col[2 + i] = -has_up * gmep[i][j - 2]
+            ucols.append(col)
+
+        sol = _planar_solve4(dt, ucols + [rt])
+        w_l = [[sol[j][i] for j in range(4)] for i in range(4)]
+        y_l = sol[4]
+        ws_ref[pl.ds(l, 1)] = jnp.stack(
+            [w_l[i][j] for i in range(4) for j in range(4)], axis=0
+        )[None]
+        ys_ref[pl.ds(l, 1)] = jnp.stack(y_l, axis=0)[None]
+        return (jnp.stack([w_l[i][j] for i in range(4) for j in range(4)],
+                          axis=0),
+                jnp.stack(y_l, axis=0))
+
+    w0 = jnp.zeros((16, s_dim, tb), dtype)
+    y0 = jnp.zeros((4, s_dim, tb), dtype)
+    w_last, y_last = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nlyr), fwd, (w0, y0)
+    )
+
+    xs_ref[nlyr - 1] = y_last
+
+    def bwd(i, x_next):
+        l = jnp.int32(nlyr - 2) - i
+        y_l = ys_ref[pl.ds(l, 1)][0]
+        w_l = ws_ref[pl.ds(l, 1)][0]
+        x_l = jnp.stack(
+            [y_l[r] - sum(w_l[4 * r + j] * x_next[j] for j in range(4))
+             for r in range(4)], axis=0,
+        )
+        xs_ref[pl.ds(l, 1)] = x_l[None]
+        return x_l
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlyr - 1), bwd, y_last)
+
+
+def _block_thomas_rt_planar_n2(gp, gm, ee, refl, rhs, *, interpret):
+    """Planar-layout wrapper for n=2: pad B to an (8*128)-multiple, fold
+    the lane axis into (8 sublanes x B/8 lanes), run the planar kernel."""
+    nlyr, n, _, b = gp.shape
+    assert n == 2
+    dtype = gp.dtype
+    sub = 8
+
+    # VMEM working set per PLANAR lane = 8 original lanes' worth
+    per_lane = nlyr * (4 * 4 + 2 * 4 + 4 * 4 + 16 + 4) + 2 * 4
+    tb = _tile_for_vmem(sub * per_lane, 512)
+    if tb == 0:
+        return None                    # caller falls back to generic kernel
+    unit = sub * tb
+    pad = (-b) % unit
+    if pad:
+        eye = jnp.broadcast_to(
+            jnp.eye(2, dtype=dtype)[None, :, :, None], (nlyr, 2, 2, pad)
+        )
+        gp = jnp.concatenate([gp, jnp.zeros((nlyr, 2, 2, pad), dtype)],
+                             axis=-1)
+        gm = jnp.concatenate([gm, eye], axis=-1)
+        ee = jnp.concatenate([ee, jnp.zeros((nlyr, 2, pad), dtype)], axis=-1)
+        refl = jnp.concatenate([refl, jnp.zeros((2, 2, pad), dtype)],
+                               axis=-1)
+        rhs = jnp.concatenate([rhs, jnp.zeros((nlyr, 4, pad), dtype)],
+                              axis=-1)
+    bp = b + pad
+    lp = bp // sub
+
+    gp_p = gp.reshape(nlyr, 4, sub, lp)
+    gm_p = gm.reshape(nlyr, 4, sub, lp)
+    ee_p = ee.reshape(nlyr, 2, sub, lp)
+    refl_p = refl.reshape(4, sub, lp)
+    rhs_p = rhs.reshape(nlyr, 4, sub, lp)
+
+    grid = (lp // tb,)
+
+    def spec(x):
+        blk = x.shape[:-1] + (tb,)
+        nd = x.ndim
+        return pl.BlockSpec(
+            blk, lambda i, nd=nd: (0,) * (nd - 1) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    with jax.enable_x64(False):
+        xs_p = pl.pallas_call(
+            _rt_kernel_planar,
+            grid=grid,
+            in_specs=[spec(gp_p), spec(gm_p), spec(ee_p), spec(refl_p),
+                      spec(rhs_p)],
+            out_specs=spec(rhs_p),
+            out_shape=jax.ShapeDtypeStruct((nlyr, 4, sub, lp), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((nlyr, 16, sub, tb), dtype),
+                pltpu.VMEM((nlyr, 4, sub, tb), dtype),
+            ],
+            interpret=interpret,
+        )(gp_p, gm_p, ee_p, refl_p, rhs_p)
+    xs = xs_p.reshape(nlyr, 4, bp)
     return xs[..., :b] if pad else xs

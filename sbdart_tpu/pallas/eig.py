@@ -581,7 +581,15 @@ def eig_beam_chain_lane_fused_layered(
 ):
     """(kk [L,N,B], gp [L,N,N,B], gm, zp [L,N,B], zm) — the fused eig+beam
     chain emitting the block-Thomas scan layout directly (no transpose
-    between the two kernels)."""
+    between the two kernels).  n = 2 dispatches the PLANAR kernel (full
+    sublane occupancy — see _n2_planar_kernel)."""
+    if cppl.shape[1] == 2:
+        return _eig_beam_call_layered_n2(
+            cppl, cpml, r1, r2, mu0,
+            mu_t=tuple(float(x) for x in np.asarray(mu)),
+            w_t=tuple(float(x) for x in np.asarray(w)),
+            interpret=interpret,
+        )
     if tile_b is None:
         tile_b = 2048 if cppl.shape[1] <= 2 else 256
     return _eig_beam_call_layered(
@@ -590,3 +598,239 @@ def eig_beam_chain_lane_fused_layered(
         w_t=tuple(float(x) for x in np.asarray(w)),
         sweeps=sweeps, tile_b=tile_b, interpret=interpret,
     )
+
+
+# --------------------------------------------------------------------------
+# PLANAR n=2 kernel (round 5).  At n = 2 every op in the generic kernel is
+# shaped [2, 2, TB] or [2, TB]: the second-to-last dim maps to SUBLANES, so
+# 2 of 8 sublanes do work — a 4x occupancy waste unique to the nstr=4
+# primary path (n = 8 fills the sublanes exactly).  The whole n=2 chain is
+# closed-form scalar algebra, so this kernel carries each matrix ENTRY as
+# its own [8, B/8] plane — a free row-major reshape of the lane axis done
+# OUTSIDE the kernel — and every vector op runs on full (8, 128) tiles.
+# Math is identical to _eig_chain_core(n=2) + _kernel_beam's reduced solve;
+# the 2x2 beam solve is branchless partial-pivoted GE (same pivot choice
+# as _solve_step at m=2).
+# --------------------------------------------------------------------------
+
+
+def _n2_planar_kernel(mu, w, cpp_ref, cpm_ref, r_ref, mu0_ref,
+                      kk_ref, g_ref, z_ref):
+    """Planes: cpp/cpm [4, S, L'] (entries 11,12,21,22), r [4, S, L']
+    (r1_1, r1_2, r2_1, r2_2), mu0 [1*8? -> [S, L']]; outputs kk/z [2|4,...],
+    g [8, S, L'] (gp11,gp12,gp21,gp22,gm11,...)."""
+    mu1, mu2 = float(mu[0]), float(mu[1])
+    w1, w2 = float(w[0]), float(w[1])
+    p1, p2 = float(np.sqrt(mu1 * w1)), float(np.sqrt(mu2 * w2))
+
+    cpp = [cpp_ref[0][i] for i in range(4)]     # [S, L'] planes: 11,12,21,22
+    cpm = [cpm_ref[0][i] for i in range(4)]
+    dtype = cpp[0].dtype
+    eps = float(jnp.finfo(dtype).eps)
+
+    # amb/apb entries (delta_ij - (cpp -+ cpm) w_j) / mu_i
+    amb11 = (1.0 - (cpp[0] + cpm[0]) * w1) / mu1
+    amb12 = (-(cpp[1] + cpm[1]) * w2) / mu1
+    amb21 = (-(cpp[2] + cpm[2]) * w1) / mu2
+    amb22 = (1.0 - (cpp[3] + cpm[3]) * w2) / mu2
+    apb11 = (1.0 - (cpp[0] - cpm[0]) * w1) / mu1
+    apb12 = (-(cpp[1] - cpm[1]) * w2) / mu1
+    apb21 = (-(cpp[2] - cpm[2]) * w1) / mu2
+    apb22 = (1.0 - (cpp[3] - cpm[3]) * w2) / mu2
+
+    # symmetrized congruence s = sym(P M P^-1), P = diag(p)
+    def sym_congr(m11, m12, m21, m22):
+        s12 = m12 * (p1 / p2)
+        s21 = m21 * (p2 / p1)
+        o12 = 0.5 * (s12 + s21)
+        return m11, o12, m22                    # symmetric: (11, 12, 22)
+
+    sm11, sm12, sm22 = sym_congr(amb11, amb12, amb21, amb22)
+    sp11, sp12, sp22 = sym_congr(apb11, apb12, apb21, apb22)
+
+    # trace ridge (matches _eig_chain_core: (8 eps / n) tr added to diag)
+    tr = sm11 + sm22
+    ridge = (8.0 * eps / 2.0) * tr
+    sm11 = sm11 + ridge
+    sm22 = sm22 + ridge
+
+    # Cholesky of s_minus (2x2 lower)
+    l11 = jnp.sqrt(sm11)
+    l21 = sm12 / l11                             # s21 == s12
+    l22 = jnp.sqrt(sm22 - l21 * l21)
+
+    # M = L^T S+ L, symmetrized (2x2: symmetric by construction up to fp)
+    a11 = sp11 * l11 + sp12 * l21
+    a12 = sp12 * l22
+    a21 = sp12 * l11 + sp22 * l21                # s+ symmetric
+    a22 = sp22 * l22
+    m11 = l11 * a11 + l21 * a21
+    m12v = l11 * a12 + l21 * a22
+    m21v = l22 * a21
+    m22 = l22 * a22
+    q12 = 0.5 * (m12v + m21v)
+
+    # closed-form symmetric 2x2 eigendecomposition (matches _eigh2_inline)
+    diff = m11 - m22
+    rr = jnp.sqrt(diff * diff + 4.0 * q12 * q12)
+    safe = rr > 0.0
+    rs = jnp.where(safe, rr, 1.0)
+    cos2 = jnp.where(safe, diff / rs, 1.0)
+    sin2 = jnp.where(safe, 2.0 * q12 / rs, 0.0)
+    cth = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2), 0.0))
+    sth = jnp.where(sin2 >= 0.0, 1.0, -1.0) * jnp.sqrt(
+        jnp.maximum(0.5 * (1.0 - cos2), 0.0)
+    )
+    wa = cth * cth * m11 + 2.0 * cth * sth * q12 + sth * sth * m22
+    wb = sth * sth * m11 - 2.0 * cth * sth * q12 + cth * cth * m22
+    lo = wa <= wb
+    k2_1 = jnp.where(lo, wa, wb)
+    k2_2 = jnp.where(lo, wb, wa)
+    v11 = jnp.where(lo, cth, -sth)
+    v21 = jnp.where(lo, sth, cth)
+    v12 = jnp.where(lo, -sth, cth)
+    v22 = jnp.where(lo, cth, sth)
+    kk1 = jnp.sqrt(jnp.maximum(k2_1, 1e-30))
+    kk2 = jnp.sqrt(jnp.maximum(k2_2, 1e-30))
+
+    # z = (L^T)^-1 v  (upper-tri solve), x = P^-1 z
+    z21 = v21 / l22
+    z22 = v22 / l22
+    z11 = (v11 - l21 * z21) / l11
+    z12 = (v12 - l21 * z22) / l11
+    x11 = z11 / p1
+    x12 = z12 / p1
+    x21 = z21 / p2
+    x22 = z22 / p2
+
+    # y = -(amb @ x) / kk_j ; gp/gm = (x +- y)/2
+    y11 = -(amb11 * x11 + amb12 * x21) / kk1
+    y12 = -(amb11 * x12 + amb12 * x22) / kk2
+    y21 = -(amb21 * x11 + amb22 * x21) / kk1
+    y22 = -(amb21 * x12 + amb22 * x22) / kk2
+    gp11 = 0.5 * (x11 + y11)
+    gp12 = 0.5 * (x12 + y12)
+    gp21 = 0.5 * (x21 + y21)
+    gp22 = 0.5 * (x22 + y22)
+    gm11 = 0.5 * (x11 - y11)
+    gm12 = 0.5 * (x12 - y12)
+    gm21 = 0.5 * (x21 - y21)
+    gm22 = 0.5 * (x22 - y22)
+
+    # ---- beam particular: [(a+b)(a-b) - I/mu0^2] S = (a+b) r1 - r2/mu0 ----
+    r1a = r_ref[0][0]
+    r1b = r_ref[0][1]
+    r2a = r_ref[0][2]
+    r2b = r_ref[0][3]
+    mu0p = mu0_ref[0, 0]                         # [S, L']
+    inv0 = 1.0 / mu0p
+    inv0sq = inv0 * inv0
+    b11 = apb11 * amb11 + apb12 * amb21 - inv0sq
+    b12 = apb11 * amb12 + apb12 * amb22
+    b21 = apb21 * amb11 + apb22 * amb21
+    b22 = apb21 * amb12 + apb22 * amb22 - inv0sq
+    rb1 = apb11 * r1a + apb12 * r1b - r2a * inv0
+    rb2 = apb21 * r1a + apb22 * r1b - r2b * inv0
+    # branchless partial-pivoted 2x2 GE (same pivot rule as _solve_step)
+    swap = jnp.abs(b21) > jnp.abs(b11)
+    t11 = jnp.where(swap, b21, b11)
+    t12 = jnp.where(swap, b22, b12)
+    tr1 = jnp.where(swap, rb2, rb1)
+    t21 = jnp.where(swap, b11, b21)
+    t22 = jnp.where(swap, b12, b22)
+    tr2 = jnp.where(swap, rb1, rb2)
+    f = t21 / t11
+    d22 = t22 - f * t12
+    s2 = (tr2 - f * tr1) / d22
+    s1 = (tr1 - t12 * s2) / t11
+    d1 = (r1a - (amb11 * s1 + amb12 * s2)) * mu0p
+    d2 = (r1b - (amb21 * s1 + amb22 * s2)) * mu0p
+    zp1 = 0.5 * (s1 + d1)
+    zp2 = 0.5 * (s2 + d2)
+    zm1 = 0.5 * (s1 - d1)
+    zm2 = 0.5 * (s2 - d2)
+
+    kk_ref[0] = jnp.stack([kk1, kk2], axis=0)
+    g_ref[0] = jnp.stack(
+        [gp11, gp12, gp21, gp22, gm11, gm12, gm21, gm22], axis=0
+    )
+    z_ref[0] = jnp.stack([zp1, zp2, zm1, zm2], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu_t", "w_t", "interpret")
+)
+def _eig_beam_call_layered_n2(cppl, cpml, r1, r2, mu0, *, mu_t, w_t,
+                              interpret):
+    nlyr, n, _, b = cppl.shape
+    assert n == 2
+    dtype = cppl.dtype
+    mu = np.asarray(mu_t, np.float64)
+    w = np.asarray(w_t, np.float64)
+
+    # lane axis folded into (8 sublanes x lanes): pad b to a multiple of
+    # 8 * 128, then a row-major reshape [.., b] -> [.., 8, b/8] is free
+    sub = 8
+    pad = (-b) % (sub * 128)
+    if pad:
+        p4 = [(0, 0), (0, 0), (0, 0), (0, pad)]
+        cppl = jnp.pad(cppl, p4)
+        cpml = jnp.pad(cpml, p4)
+        r1 = jnp.pad(r1, [(0, 0), (0, 0), (0, pad)])
+        r2 = jnp.pad(r2, [(0, 0), (0, 0), (0, pad)])
+        mu0 = jnp.pad(mu0, [(0, 0), (0, pad)], constant_values=0.5)
+    bp = b + pad
+    lp = bp // sub
+
+    cpp_p = cppl.reshape(nlyr, 4, sub, lp)
+    cpm_p = cpml.reshape(nlyr, 4, sub, lp)
+    r_p = jnp.concatenate([r1, r2], axis=1).reshape(nlyr, 4, sub, lp)
+    mu0_p = mu0.reshape(1, 1, sub, lp)
+
+    tb = min(1024, lp)
+    tb = max(128, (tb // 128) * 128)
+    padl = (-lp) % tb
+    if padl:
+        # keep it simple: require the 8*128 pad above to also make lp a
+        # tile multiple (it does for tb chosen as a divisor-friendly cap)
+        for cand in range(tb, 127, -128):
+            if lp % cand == 0:
+                tb = cand
+                padl = 0
+                break
+    if padl:
+        raise ValueError(f"n2 planar kernel: lane dim {lp} not tileable")
+    grid = (nlyr, lp // tb)
+
+    def spec(k):
+        return pl.BlockSpec((1, k, sub, tb), lambda l, i: (l, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    mu0_spec = pl.BlockSpec((1, 1, sub, tb), lambda l, i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        kk_p, g_p, z_p = pl.pallas_call(
+            functools.partial(_n2_planar_kernel, mu, w),
+            grid=grid,
+            in_specs=[spec(4), spec(4), spec(4), mu0_spec],
+            out_specs=[spec(2), spec(8), spec(4)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nlyr, 2, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 8, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 4, sub, lp), dtype),
+            ],
+            interpret=interpret,
+        )(cpp_p, cpm_p, r_p, mu0_p)
+
+    kk = kk_p.reshape(nlyr, 2, bp)
+    g = g_p.reshape(nlyr, 8, bp)
+    z = z_p.reshape(nlyr, 4, bp)
+    gp = g[:, :4].reshape(nlyr, 2, 2, bp)
+    gm = g[:, 4:].reshape(nlyr, 2, 2, bp)
+    zp = z[:, :2]
+    zm = z[:, 2:]
+    if pad:
+        kk, zp, zm = kk[..., :b], zp[..., :b], zm[..., :b]
+        gp, gm = gp[..., :b], gm[..., :b]
+    return kk, gp, gm, zp, zm
