@@ -614,17 +614,16 @@ def eig_beam_chain_lane_fused_layered(
 # --------------------------------------------------------------------------
 
 
-def _n2_planar_kernel(mu, w, cpp_ref, cpm_ref, r_ref, mu0_ref,
-                      kk_ref, g_ref, z_ref):
-    """Planes: cpp/cpm [4, S, L'] (entries 11,12,21,22), r [4, S, L']
-    (r1_1, r1_2, r2_1, r2_2), mu0 [1*8? -> [S, L']]; outputs kk/z [2|4,...],
-    g [8, S, L'] (gp11,gp12,gp21,gp22,gm11,...)."""
+def _n2_chain_planar(mu, w, cpp, cpm, r1a, r1b, r2a, r2b, mu0p):
+    """The full n=2 chain on scalar planes.
+
+    cpp/cpm: lists of 4 entry planes (11, 12, 21, 22); r*: beam RHS
+    planes; mu0p: beam-cosine plane.  Returns (kk [2 planes],
+    g [8 planes: gp11..gp22, gm11..gm22], z [4: zp1, zp2, zm1, zm2]).
+    """
     mu1, mu2 = float(mu[0]), float(mu[1])
     w1, w2 = float(w[0]), float(w[1])
     p1, p2 = float(np.sqrt(mu1 * w1)), float(np.sqrt(mu2 * w2))
-
-    cpp = [cpp_ref[0][i] for i in range(4)]     # [S, L'] planes: 11,12,21,22
-    cpm = [cpm_ref[0][i] for i in range(4)]
     dtype = cpp[0].dtype
     eps = float(jnp.finfo(dtype).eps)
 
@@ -718,11 +717,6 @@ def _n2_planar_kernel(mu, w, cpp_ref, cpm_ref, r_ref, mu0_ref,
     gm22 = 0.5 * (x22 - y22)
 
     # ---- beam particular: [(a+b)(a-b) - I/mu0^2] S = (a+b) r1 - r2/mu0 ----
-    r1a = r_ref[0][0]
-    r1b = r_ref[0][1]
-    r2a = r_ref[0][2]
-    r2b = r_ref[0][3]
-    mu0p = mu0_ref[0, 0]                         # [S, L']
     inv0 = 1.0 / mu0p
     inv0sq = inv0 * inv0
     b11 = apb11 * amb11 + apb12 * amb21 - inv0sq
@@ -750,11 +744,181 @@ def _n2_planar_kernel(mu, w, cpp_ref, cpm_ref, r_ref, mu0_ref,
     zm1 = 0.5 * (s1 - d1)
     zm2 = 0.5 * (s2 - d2)
 
-    kk_ref[0] = jnp.stack([kk1, kk2], axis=0)
-    g_ref[0] = jnp.stack(
-        [gp11, gp12, gp21, gp22, gm11, gm12, gm21, gm22], axis=0
+    return (
+        [kk1, kk2],
+        [gp11, gp12, gp21, gp22, gm11, gm12, gm21, gm22],
+        [zp1, zp2, zm1, zm2],
     )
-    z_ref[0] = jnp.stack([zp1, zp2, zm1, zm2], axis=0)
+
+
+def _n2_planar_kernel(mu, w, cpp_ref, cpm_ref, r_ref, mu0_ref,
+                      kk_ref, g_ref, z_ref):
+    """Planes: cpp/cpm [4, S, L'] (entries 11,12,21,22), r [4, S, L']
+    (r1_1, r1_2, r2_1, r2_2), mu0 [S, L']; outputs kk [2,..], g [8,..]
+    (gp11..gp22, gm11..gm22), z [4,..] (zp1, zp2, zm1, zm2)."""
+    cpp = [cpp_ref[0][i] for i in range(4)]
+    cpm = [cpm_ref[0][i] for i in range(4)]
+    r = r_ref[0]
+    kk, g, z = _n2_chain_planar(
+        mu, w, cpp, cpm, r[0], r[1], r[2], r[3], mu0_ref[0, 0]
+    )
+    kk_ref[0] = jnp.stack(kk, axis=0)
+    g_ref[0] = jnp.stack(g, axis=0)
+    z_ref[0] = jnp.stack(z, axis=0)
+
+
+def _n2_scatter_kernel(mu, w, ylm0, par0, ssalb_ref, gl_ref, scale_ref,
+                       mu0_ref, kk_ref, g_ref, z_ref):
+    """Planar n=2 kernel with the SCATTERING-MATRIX build and beam-RHS
+    assembly fused in (round 5, part 3): inputs are the delta-M-scaled
+    single-scatter albedo and the 4 phase moments, not prebuilt cpp/cpm —
+    the XLA einsums, the Legendre-at-mu0 evaluation and the RHS
+    broadcasts all happen on planes in VMEM.
+
+    ssalb [1, S, L'], gl [4, S, L'] (moments l = 0..3), scale [S, L']
+    (fbeam-masked /2pi), mu0 [S, L'].  ylm0 [4, 2] = Lam_l(mu_i) and
+    par0 [4] = (-1)^l are static (mode 0).
+    """
+    ss = ssalb_ref[0, 0]
+    gl = [gl_ref[0][k] for k in range(4)]
+    mu0p = mu0_ref[0, 0]
+    scale = scale_ref[0, 0]
+
+    c = [0.5 * float(2 * l + 1) * ss * gl[l] for l in range(4)]
+    cpp = []
+    cpm = []
+    for i in range(2):
+        for j in range(2):
+            cpp.append(sum(
+                float(ylm0[l, i] * ylm0[l, j]) * c[l] for l in range(4)
+            ))
+            cpm.append(sum(
+                float(par0[l] * ylm0[l, i] * ylm0[l, j]) * c[l]
+                for l in range(4)
+            ))
+
+    # Lam_l(mu0) for m = 0 are the ordinary Legendre polynomials
+    # (matches sources._ylm_at's recurrence at m = 0)
+    y0 = [
+        jnp.ones_like(mu0p),
+        mu0p,
+        0.5 * (3.0 * mu0p * mu0p - 1.0),
+        0.5 * mu0p * (5.0 * mu0p * mu0p - 3.0),
+    ]
+    prod = [c[l] * (float(par0[l]) * y0[l]) for l in range(4)]
+    x0p = [
+        sum(float(ylm0[l, i]) * prod[l] for l in range(4)) * scale
+        for i in range(2)
+    ]
+    x0m = [
+        sum(float(par0[l] * ylm0[l, i]) * prod[l] for l in range(4)) * scale
+        for i in range(2)
+    ]
+    r1a = (x0p[0] + x0m[0]) / float(mu[0])
+    r1b = (x0p[1] + x0m[1]) / float(mu[1])
+    r2a = (x0p[0] - x0m[0]) / float(mu[0])
+    r2b = (x0p[1] - x0m[1]) / float(mu[1])
+
+    kk, g, z = _n2_chain_planar(mu, w, cpp, cpm, r1a, r1b, r2a, r2b, mu0p)
+    kk_ref[0] = jnp.stack(kk, axis=0)
+    g_ref[0] = jnp.stack(g, axis=0)
+    z_ref[0] = jnp.stack(z, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu_t", "w_t", "ylm_t", "par_t", "interpret")
+)
+def _eig_beam_scatter_call_n2(ssalb, gl, scale, mu0, *, mu_t, w_t, ylm_t,
+                              par_t, interpret):
+    """ssalb [L, B], gl [L, 4, B], scale/mu0 [1, B] -> planar outputs."""
+    nlyr, _, b = gl.shape
+    dtype = gl.dtype
+    mu = np.asarray(mu_t, np.float64)
+    w = np.asarray(w_t, np.float64)
+    ylm0 = np.asarray(ylm_t, np.float64).reshape(4, 2)
+    par0 = np.asarray(par_t, np.float64)
+
+    sub = 8
+    pad = (-b) % (sub * 128)
+    if pad:
+        ssalb = jnp.pad(ssalb, [(0, 0), (0, pad)])
+        gl = jnp.pad(gl, [(0, 0), (0, 0), (0, pad)])
+        scale = jnp.pad(scale, [(0, 0), (0, pad)])
+        mu0 = jnp.pad(mu0, [(0, 0), (0, pad)], constant_values=0.5)
+    bp = b + pad
+    lp = bp // sub
+
+    ss_p = ssalb.reshape(nlyr, 1, sub, lp)
+    gl_p = gl.reshape(nlyr, 4, sub, lp)
+    sc_p = scale.reshape(1, 1, sub, lp)
+    mu0_p = mu0.reshape(1, 1, sub, lp)
+
+    tb = min(1024, lp)
+    tb = max(128, (tb // 128) * 128)
+    if lp % tb:
+        for cand in range(tb, 127, -128):
+            if lp % cand == 0:
+                tb = cand
+                break
+    grid = (nlyr, lp // tb)
+
+    def spec(k):
+        return pl.BlockSpec((1, k, sub, tb), lambda l, i: (l, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, 1, sub, tb), lambda l, i: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        kk_p, g_p, z_p = pl.pallas_call(
+            functools.partial(_n2_scatter_kernel, mu, w, ylm0, par0),
+            grid=grid,
+            in_specs=[spec(1), spec(4), row, row],
+            out_specs=[spec(2), spec(8), spec(4)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nlyr, 2, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 8, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 4, sub, lp), dtype),
+            ],
+            interpret=interpret,
+        )(ss_p, gl_p, sc_p, mu0_p)
+
+    kk = kk_p.reshape(nlyr, 2, bp)
+    g = g_p.reshape(nlyr, 8, bp)
+    z = z_p.reshape(nlyr, 4, bp)
+    gp = g[:, :4].reshape(nlyr, 2, 2, bp)
+    gm = g[:, 4:].reshape(nlyr, 2, 2, bp)
+    zp = z[:, :2]
+    zm = z[:, 2:]
+    if pad:
+        kk, zp, zm = kk[..., :b], zp[..., :b], zm[..., :b]
+        gp, gm = gp[..., :b], gm[..., :b]
+    return kk, gp, gm, zp, zm
+
+
+def eig_beam_scatter_n2_layered(
+    ssalb_scan,            # [L, B] delta-M-scaled single-scatter albedo
+    gl_scan,               # [L, 4, B] delta-M-scaled phase moments
+    scale,                 # [1, B] beam amplitude fbeam/(2 pi), 0 if no beam
+    mu0,                   # [1, B] beam cosine (dithered where no beam)
+    tab,                   # AngularTables for (nstr=4, 1 mode)
+    *,
+    interpret: bool = False,
+):
+    """Fully fused nstr=4 front end: delta-M-scaled optical inputs ->
+    (kk, gp, gm, zp, zm) in the block-Thomas scan layout.  Replaces the
+    XLA scattering-matrix einsums + Legendre-at-mu0 + beam-RHS assembly
+    of fluxlane's generic front end for the primary path."""
+    ylm0 = np.asarray(tab.ylm[0], np.float64)       # [4, 2]
+    par0 = np.asarray(tab.parity[0], np.float64)    # [4]
+    return _eig_beam_scatter_call_n2(
+        ssalb_scan, gl_scan, scale, mu0,
+        mu_t=tuple(float(x) for x in np.asarray(tab.mu)),
+        w_t=tuple(float(x) for x in np.asarray(tab.w)),
+        ylm_t=tuple(float(x) for x in ylm0.reshape(-1)),
+        par_t=tuple(float(x) for x in par0),
+        interpret=interpret,
+    )
 
 
 @functools.partial(

@@ -81,45 +81,62 @@ def solve_rte_flux_lane(
         has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0
     )
 
-    # ---- scattering coefficients DIRECTLY in scan layout [L, *, Bc] ------
+    # ---- eigensolve + beam front end -------------------------------------
     # Round 5: the kernel runs a (layer, lane-tile) grid and emits the
-    # block-Thomas layout, so no transpose sits between the two kernels
-    # (the leading-axis copy of gp/gm was 27% of the round-4 primary path's
-    # glue time).
-    twol1 = jnp.asarray(tab.twol1, dtype)
-    c = 0.5 * dm.ssalb[..., None] * twol1 * dm.gl       # [.., L, nstr]
-    c_scan = _to_scan(c, 2)                             # [L, nstr, Bc]
-
-    ylm0 = np.asarray(tab.ylm[0], np.float64)           # [nstr, N]
-    par0 = np.asarray(tab.parity[0], np.float64)
-    a_pp = jnp.asarray(
-        (ylm0[:, :, None] * ylm0[:, None, :]).reshape(nstr, n * n), dtype
-    )
-    a_pm = a_pp * jnp.asarray(par0, dtype)[:, None]
-    cppl = jnp.einsum("lk,SlB->SkB", a_pp, c_scan).reshape(nlyr, n, n, bc)
-    cpml = jnp.einsum("lk,SlB->SkB", a_pm, c_scan).reshape(nlyr, n, n, bc)
-
-    # ---- beam RHS in scan layout -----------------------------------------
+    # block-Thomas layout, so no transpose sits between the two kernels.
+    # n = 2 (the nstr=4 primary path) fuses the whole front end — the
+    # scattering-matrix build, the Legendre-at-mu0 evaluation and the
+    # beam-RHS assembly — into the planar kernel itself
+    # (pallas/eig.py:_n2_scatter_kernel); larger n builds cpp/cpm + RHS
+    # as XLA einsums and feeds the layered generic kernel.
     mu0_row = mu0.reshape(-1)[None, :].astype(dtype)    # [1, Bc]
     scale = (jnp.where(has_beam, fbeam, 0.0) / (2.0 * jnp.pi)) \
         .reshape(-1).astype(dtype)                      # [Bc]
-    y0 = _ylm_at(mu0, 1, nstr, dtype)[..., 0, :]        # [batch.., nstr]
-    y0d = y0 * jnp.asarray(tab.parity[0], dtype)
-    prod = c_scan * y0d.reshape(-1, nstr).T[None, :, :]  # [L, nstr, Bc]
-    ylm_mat = jnp.asarray(ylm0.T, dtype)                # [N, nstr]
-    x0p = jnp.einsum("il,SlB->SiB", ylm_mat, prod) * scale[None, None, :]
-    x0m = jnp.einsum(
-        "il,SlB->SiB", ylm_mat * jnp.asarray(par0, dtype)[None, :], prod
-    ) * scale[None, None, :]
-    inv_mu_col = jnp.asarray(1.0 / tab.mu, dtype)[None, :, None]
-    r1 = (x0p + x0m) * inv_mu_col                       # [L, N, Bc]
-    r2 = (x0p - x0m) * inv_mu_col
+    if n == 2:
+        from sbdart_tpu.pallas.eig import eig_beam_scatter_n2_layered
 
-    from sbdart_tpu.pallas.eig import eig_beam_chain_lane_fused_layered
+        ssalb_scan = _to_scan(dm.ssalb)                 # [L, Bc]
+        gl_scan = _to_scan(dm.gl, 2)                    # [L, 4, Bc]
+        kk, gp, gm, zp, zm = eig_beam_scatter_n2_layered(
+            ssalb_scan, gl_scan, scale[None, :], mu0_row, tab,
+            interpret=interpret,
+        )                                               # [L, *, Bc]
+    else:
+        twol1 = jnp.asarray(tab.twol1, dtype)
+        c = 0.5 * dm.ssalb[..., None] * twol1 * dm.gl   # [.., L, nstr]
+        c_scan = _to_scan(c, 2)                         # [L, nstr, Bc]
 
-    kk, gp, gm, zp, zm = eig_beam_chain_lane_fused_layered(
-        cppl, cpml, r1, r2, mu0_row, tab.mu, tab.w, interpret=interpret
-    )                                                   # [L, *, Bc]
+        ylm0 = np.asarray(tab.ylm[0], np.float64)       # [nstr, N]
+        par0 = np.asarray(tab.parity[0], np.float64)
+        a_pp = jnp.asarray(
+            (ylm0[:, :, None] * ylm0[:, None, :]).reshape(nstr, n * n),
+            dtype,
+        )
+        a_pm = a_pp * jnp.asarray(par0, dtype)[:, None]
+        cppl = jnp.einsum("lk,SlB->SkB", a_pp, c_scan) \
+            .reshape(nlyr, n, n, bc)
+        cpml = jnp.einsum("lk,SlB->SkB", a_pm, c_scan) \
+            .reshape(nlyr, n, n, bc)
+
+        y0 = _ylm_at(mu0, 1, nstr, dtype)[..., 0, :]    # [batch.., nstr]
+        y0d = y0 * jnp.asarray(tab.parity[0], dtype)
+        prod = c_scan * y0d.reshape(-1, nstr).T[None, :, :]  # [L, nstr, Bc]
+        ylm_mat = jnp.asarray(ylm0.T, dtype)            # [N, nstr]
+        x0p = jnp.einsum("il,SlB->SiB", ylm_mat, prod) \
+            * scale[None, None, :]
+        x0m = jnp.einsum(
+            "il,SlB->SiB", ylm_mat * jnp.asarray(par0, dtype)[None, :],
+            prod,
+        ) * scale[None, None, :]
+        inv_mu_col = jnp.asarray(1.0 / tab.mu, dtype)[None, :, None]
+        r1 = (x0p + x0m) * inv_mu_col                   # [L, N, Bc]
+        r2 = (x0p - x0m) * inv_mu_col
+
+        from sbdart_tpu.pallas.eig import eig_beam_chain_lane_fused_layered
+
+        kk, gp, gm, zp, zm = eig_beam_chain_lane_fused_layered(
+            cppl, cpml, r1, r2, mu0_row, tab.mu, tab.w, interpret=interpret
+        )                                               # [L, *, Bc]
 
     dtau_scan = _to_scan(dm.dtau)                       # [L, Bc]
     ee = jnp.exp(-kk * dtau_scan[:, None, :])           # [L, N, Bc]
@@ -145,11 +162,13 @@ def solve_rte_flux_lane(
         # thermal particular needs cpp/cpm batch-major (mode 0): recompute
         # via the einsum from c (thermal runs only on LW bands, where the
         # beam terms are off and this is the marginal cost)
+        twol1_t = jnp.asarray(tab.twol1, dtype)
+        c_t = 0.5 * dm.ssalb[..., None] * twol1_t * dm.gl   # [.., L, nstr]
+        par0_t = jnp.asarray(tab.parity[0], dtype)
         ylm_j = jnp.asarray(tab.ylm[0], dtype)           # [nstr, N]
-        cpp_bm = jnp.einsum("...Ll,li,lj->...Lij", c, ylm_j, ylm_j)
+        cpp_bm = jnp.einsum("...Ll,li,lj->...Lij", c_t, ylm_j, ylm_j)
         cpm_bm = jnp.einsum(
-            "...Ll,l,li,lj->...Lij", c, jnp.asarray(par0, dtype), ylm_j,
-            ylm_j,
+            "...Ll,l,li,lj->...Lij", c_t, par0_t, ylm_j, ylm_j,
         )
         thermal = thermal_particular(
             cpp_bm, cpm_bm, dm.ssalb, dm.dtau, b_level, tab, dtype
