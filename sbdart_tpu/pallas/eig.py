@@ -481,6 +481,16 @@ def eig_beam_chain_lane_fused(
     interpret: bool = False,
 ):
     """(kk, gp, gm, zp [N, B], zm [N, B]) — eig chain + beam solve fused."""
+    if cppl.shape[0] == 2:
+        # n = 2: the PLANAR kernel (full sublane occupancy) via the
+        # layered entry viewed as a single layer — see _n2_planar_kernel
+        kk, gp, gm, zp, zm = _eig_beam_call_layered_n2(
+            cppl[None], cpml[None], r1[None], r2[None], mu0,
+            mu_t=tuple(float(x) for x in np.asarray(mu)),
+            w_t=tuple(float(x) for x in np.asarray(w)),
+            interpret=interpret,
+        )
+        return kk[0], gp[0], gm[0], zp[0], zm[0]
     if tile_b is None:
         tile_b = 2048 if cppl.shape[0] <= 2 else 256
     return _eig_beam_call(
@@ -823,6 +833,191 @@ def _n2_scatter_kernel(mu, w, ylm0, par0, ssalb_ref, gl_ref, scale_ref,
     kk_ref[0] = jnp.stack(kk, axis=0)
     g_ref[0] = jnp.stack(g, axis=0)
     z_ref[0] = jnp.stack(z, axis=0)
+
+
+def _n2_deltam_scatter_kernel(mu, w, ylm0, par0, dither, use_dm,
+                              dtau_ref, ssalb_ref, pm_ref, scale_ref,
+                              mu0_ref, kk_ref, g_ref, z_ref, dts_ref,
+                              ee_ref):
+    """Planar n=2 kernel with DELTA-M + scattering build + beam RHS fused
+    (round 5, part 4): inputs are the RAW per-layer optical properties
+    (dtau, ssalb, 5 phase moments); the kernel applies the Wiscombe
+    delta-M rescaling (solver/deltam.py formulas, same dither), builds
+    the scattering matrices and beam RHS, runs the closed-form chain, and
+    also emits the scaled dtau* and ee = exp(-kk dtau*) planes so the
+    caller's only remaining layer math is the tau cumsum."""
+    dtau = dtau_ref[0, 0]
+    ss_raw = jnp.clip(ssalb_ref[0, 0], 0.0, 1.0 - dither)
+    pm = [pm_ref[0][k] for k in range(5)]
+    mu0p = mu0_ref[0, 0]
+    scale = scale_ref[0, 0]
+
+    if use_dm:
+        f = jnp.clip(pm[4], 0.0, 1.0 - 1e-6)
+        wf = ss_raw * f
+        dts = (1.0 - wf) * dtau
+        ss = jnp.clip(ss_raw * (1.0 - f) / (1.0 - wf), 0.0, 1.0 - dither)
+        inv1mf = 1.0 / (1.0 - f)
+        gl = [(pm[l] - f) * inv1mf for l in range(4)]
+    else:
+        dts = dtau
+        ss = ss_raw
+        gl = [pm[l] for l in range(4)]
+
+    c = [0.5 * float(2 * l + 1) * ss * gl[l] for l in range(4)]
+    cpp = []
+    cpm = []
+    for i in range(2):
+        for j in range(2):
+            cpp.append(sum(
+                float(ylm0[l, i] * ylm0[l, j]) * c[l] for l in range(4)
+            ))
+            cpm.append(sum(
+                float(par0[l] * ylm0[l, i] * ylm0[l, j]) * c[l]
+                for l in range(4)
+            ))
+    y0 = [
+        jnp.ones_like(mu0p),
+        mu0p,
+        0.5 * (3.0 * mu0p * mu0p - 1.0),
+        0.5 * mu0p * (5.0 * mu0p * mu0p - 3.0),
+    ]
+    prod = [c[l] * (float(par0[l]) * y0[l]) for l in range(4)]
+    x0p = [
+        sum(float(ylm0[l, i]) * prod[l] for l in range(4)) * scale
+        for i in range(2)
+    ]
+    x0m = [
+        sum(float(par0[l] * ylm0[l, i]) * prod[l] for l in range(4)) * scale
+        for i in range(2)
+    ]
+    r1a = (x0p[0] + x0m[0]) / float(mu[0])
+    r1b = (x0p[1] + x0m[1]) / float(mu[1])
+    r2a = (x0p[0] - x0m[0]) / float(mu[0])
+    r2b = (x0p[1] - x0m[1]) / float(mu[1])
+
+    kk, g, z = _n2_chain_planar(mu, w, cpp, cpm, r1a, r1b, r2a, r2b, mu0p)
+    kk_ref[0] = jnp.stack(kk, axis=0)
+    g_ref[0] = jnp.stack(g, axis=0)
+    z_ref[0] = jnp.stack(z, axis=0)
+    dts_ref[0] = dts[None]
+    ee_ref[0] = jnp.stack(
+        [jnp.exp(-kk[0] * dts), jnp.exp(-kk[1] * dts)], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mu_t", "w_t", "ylm_t", "par_t", "dither", "use_dm",
+                     "interpret"),
+)
+def _eig_beam_deltam_call_n2(dtau, ssalb, pmom, scale, mu0, *, mu_t, w_t,
+                             ylm_t, par_t, dither, use_dm, interpret):
+    """dtau/ssalb [L, B], pmom [L, 5, B], scale/mu0 [1, B]."""
+    nlyr, _, b = pmom.shape
+    dtype = pmom.dtype
+    mu = np.asarray(mu_t, np.float64)
+    w = np.asarray(w_t, np.float64)
+    ylm0 = np.asarray(ylm_t, np.float64).reshape(4, 2)
+    par0 = np.asarray(par_t, np.float64)
+
+    sub = 8
+    pad = (-b) % (sub * 128)
+    if pad:
+        dtau = jnp.pad(dtau, [(0, 0), (0, pad)], constant_values=0.1)
+        ssalb = jnp.pad(ssalb, [(0, 0), (0, pad)], constant_values=0.5)
+        pmom = jnp.pad(pmom, [(0, 0), (0, 0), (0, pad)])
+        scale = jnp.pad(scale, [(0, 0), (0, pad)])
+        mu0 = jnp.pad(mu0, [(0, 0), (0, pad)], constant_values=0.5)
+    bp = b + pad
+    lp = bp // sub
+
+    dt_p = dtau.reshape(nlyr, 1, sub, lp)
+    ss_p = ssalb.reshape(nlyr, 1, sub, lp)
+    pm_p = pmom.reshape(nlyr, 5, sub, lp)
+    sc_p = scale.reshape(1, 1, sub, lp)
+    mu0_p = mu0.reshape(1, 1, sub, lp)
+
+    tb = min(1024, lp)
+    tb = max(128, (tb // 128) * 128)
+    if lp % tb:
+        for cand in range(tb, 127, -128):
+            if lp % cand == 0:
+                tb = cand
+                break
+    grid = (nlyr, lp // tb)
+
+    def spec(k):
+        return pl.BlockSpec((1, k, sub, tb), lambda l, i: (l, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, 1, sub, tb), lambda l, i: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        kk_p, g_p, z_p, dts_p, ee_p = pl.pallas_call(
+            functools.partial(_n2_deltam_scatter_kernel, mu, w, ylm0, par0,
+                              dither, use_dm),
+            grid=grid,
+            in_specs=[spec(1), spec(1), spec(5), row, row],
+            out_specs=[spec(2), spec(8), spec(4), spec(1), spec(2)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nlyr, 2, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 8, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 4, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 1, sub, lp), dtype),
+                jax.ShapeDtypeStruct((nlyr, 2, sub, lp), dtype),
+            ],
+            interpret=interpret,
+        )(dt_p, ss_p, pm_p, sc_p, mu0_p)
+
+    kk = kk_p.reshape(nlyr, 2, bp)
+    g = g_p.reshape(nlyr, 8, bp)
+    z = z_p.reshape(nlyr, 4, bp)
+    dts = dts_p.reshape(nlyr, bp)
+    ee = ee_p.reshape(nlyr, 2, bp)
+    gp = g[:, :4].reshape(nlyr, 2, 2, bp)
+    gm = g[:, 4:].reshape(nlyr, 2, 2, bp)
+    zp = z[:, :2]
+    zm = z[:, 2:]
+    if pad:
+        kk, zp, zm = kk[..., :b], zp[..., :b], zm[..., :b]
+        gp, gm = gp[..., :b], gm[..., :b]
+        dts, ee = dts[..., :b], ee[..., :b]
+    return kk, gp, gm, zp, zm, dts, ee
+
+
+def eig_beam_deltam_scatter_n2_layered(
+    dtau_scan,             # [L, B] RAW layer optical depth
+    ssalb_scan,            # [L, B] RAW single-scatter albedo
+    pmom_scan,             # [L, 5, B] RAW phase moments l = 0..4
+    scale,                 # [1, B] beam amplitude fbeam/(2 pi), 0 if no beam
+    mu0,                   # [1, B] beam cosine (dithered where no beam)
+    tab,                   # AngularTables for (nstr=4, 1 mode)
+    *,
+    use_deltam: bool = True,
+    interpret: bool = False,
+):
+    """Fully fused nstr=4 front end from RAW optics: delta-M + scattering
+    matrices + Legendre-at-mu0 + beam RHS + eig chain + beam solve + the
+    per-eigenmode transmissions, one planar kernel.  Returns
+    (kk, gp, gm, zp, zm, dtau_scaled [L, B], ee [L, 2, B])."""
+    from sbdart_tpu.constants import SSALB_DITHER
+
+    dither = max(
+        SSALB_DITHER,
+        100.0 * float(jnp.finfo(jnp.result_type(ssalb_scan)).eps),
+    )
+    ylm0 = np.asarray(tab.ylm[0], np.float64)
+    par0 = np.asarray(tab.parity[0], np.float64)
+    return _eig_beam_deltam_call_n2(
+        dtau_scan, ssalb_scan, pmom_scan, scale, mu0,
+        mu_t=tuple(float(x) for x in np.asarray(tab.mu)),
+        w_t=tuple(float(x) for x in np.asarray(tab.w)),
+        ylm_t=tuple(float(x) for x in ylm0.reshape(-1)),
+        par_t=tuple(float(x) for x in par0),
+        dither=float(dither), use_dm=bool(use_deltam), interpret=interpret,
+    )
 
 
 @functools.partial(

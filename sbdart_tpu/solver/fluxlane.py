@@ -65,43 +65,91 @@ def solve_rte_flux_lane(
     w = jnp.asarray(tab.w, dtype)
     wmu = w * mu
 
-    # ---- optical scaling (SETDIS) -- batch-major, small tensors ----------
-    dm = apply_deltam(dtauc, ssalb_in, pmom, nstr, deltam)
-    tau_s = jnp.cumsum(dm.dtau, axis=-1)
-    tau_s = jnp.concatenate([jnp.zeros_like(tau_s[..., :1]), tau_s], axis=-1)
-    tau_u = jnp.cumsum(dm.dtau_unscaled, axis=-1)
-    tau_u = jnp.concatenate([jnp.zeros_like(tau_u[..., :1]), tau_u], axis=-1)
-
     has_beam = fbeam > 0.0
     mu0 = jnp.where(has_beam, jnp.abs(umu0), 0.5)
-    expbea_s = jnp.where(
-        has_beam[..., None], jnp.exp(-tau_s / mu0[..., None]), 0.0
-    )
-    expbea_u = jnp.where(
-        has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0
-    )
-
-    # ---- eigensolve + beam front end -------------------------------------
-    # Round 5: the kernel runs a (layer, lane-tile) grid and emits the
-    # block-Thomas layout, so no transpose sits between the two kernels.
-    # n = 2 (the nstr=4 primary path) fuses the whole front end — the
-    # scattering-matrix build, the Legendre-at-mu0 evaluation and the
-    # beam-RHS assembly — into the planar kernel itself
-    # (pallas/eig.py:_n2_scatter_kernel); larger n builds cpp/cpm + RHS
-    # as XLA einsums and feeds the layered generic kernel.
     mu0_row = mu0.reshape(-1)[None, :].astype(dtype)    # [1, Bc]
     scale = (jnp.where(has_beam, fbeam, 0.0) / (2.0 * jnp.pi)) \
         .reshape(-1).astype(dtype)                      # [Bc]
-    if n == 2:
-        from sbdart_tpu.pallas.eig import eig_beam_scatter_n2_layered
+    has_beam_row = has_beam.reshape(-1)[None, :]        # [1, Bc]
 
-        ssalb_scan = _to_scan(dm.ssalb)                 # [L, Bc]
-        gl_scan = _to_scan(dm.gl, 2)                    # [L, 4, Bc]
-        kk, gp, gm, zp, zm = eig_beam_scatter_n2_layered(
-            ssalb_scan, gl_scan, scale[None, :], mu0_row, tab,
-            interpret=interpret,
-        )                                               # [L, *, Bc]
+    # ---- optics + eigensolve + beam front end ----------------------------
+    # Round 5: the eig kernel runs a (layer, lane-tile) grid and emits the
+    # block-Thomas layout, so no transpose sits between the two kernels.
+    # n = 2 without thermal (the nstr=4 primary path) fuses the ENTIRE
+    # front end — delta-M scaling, scattering-matrix build,
+    # Legendre-at-mu0, beam-RHS assembly, the closed-form chain, and the
+    # per-eigenmode transmissions — into one planar kernel taking the RAW
+    # optical properties (pallas/eig.py:_n2_deltam_scatter_kernel); the
+    # only layer math left outside is the tau cumsum.  n = 2 with planck
+    # uses the scatter-fused kernel on delta-M-scaled inputs (the thermal
+    # particular needs them batch-major anyway); larger n builds cpp/cpm
+    # + RHS as XLA einsums and feeds the layered generic kernel.
+    fused_head = (n == 2) and (not planck)
+    if fused_head:
+        from sbdart_tpu.pallas.eig import eig_beam_deltam_scatter_n2_layered
+
+        dtau_raw_scan = _to_scan(dtauc)                 # [L, Bc]
+        ssalb_raw_scan = _to_scan(ssalb_in)
+        nmom = pmom.shape[-1]
+        use_dm = bool(deltam) and nmom > nstr
+        pm5 = pmom[..., :5]
+        if pm5.shape[-1] < 5:
+            pm5 = jnp.pad(
+                pm5, [(0, 0)] * (pm5.ndim - 1) + [(0, 5 - pm5.shape[-1])]
+            )
+        pmom_scan = _to_scan(pm5, 2)                    # [L, 5, Bc]
+        kk, gp, gm, zp, zm, dtau_scan, ee = \
+            eig_beam_deltam_scatter_n2_layered(
+                dtau_raw_scan, ssalb_raw_scan, pmom_scan,
+                scale[None, :], mu0_row, tab,
+                use_deltam=use_dm, interpret=interpret,
+            )
+        zrow = jnp.zeros((1, bc), dtype)
+        tau_s_scan = jnp.concatenate(
+            [zrow, jnp.cumsum(dtau_scan, axis=0)], axis=0
+        )
+        tau_u_scan = jnp.concatenate(
+            [zrow, jnp.cumsum(dtau_raw_scan, axis=0)], axis=0
+        )
+        eb = jnp.where(has_beam_row, jnp.exp(-tau_s_scan / mu0_row), 0.0)
+        eb_u = jnp.where(has_beam_row, jnp.exp(-tau_u_scan / mu0_row), 0.0)
+        dm = None
+        bypass_generic = True
     else:
+        bypass_generic = False
+        # ---- optical scaling (SETDIS) -- batch-major, small tensors ------
+        dm = apply_deltam(dtauc, ssalb_in, pmom, nstr, deltam)
+        tau_s = jnp.cumsum(dm.dtau, axis=-1)
+        tau_s = jnp.concatenate(
+            [jnp.zeros_like(tau_s[..., :1]), tau_s], axis=-1
+        )
+        tau_u = jnp.cumsum(dm.dtau_unscaled, axis=-1)
+        tau_u = jnp.concatenate(
+            [jnp.zeros_like(tau_u[..., :1]), tau_u], axis=-1
+        )
+        expbea_s = jnp.where(
+            has_beam[..., None], jnp.exp(-tau_s / mu0[..., None]), 0.0
+        )
+        expbea_u = jnp.where(
+            has_beam[..., None], jnp.exp(-tau_u / mu0[..., None]), 0.0
+        )
+        eb = _to_scan(expbea_s)                         # [L+1, Bc]
+        eb_u = _to_scan(expbea_u)
+        dtau_scan = _to_scan(dm.dtau)                   # [L, Bc]
+
+        if n == 2:
+            from sbdart_tpu.pallas.eig import eig_beam_scatter_n2_layered
+
+            ssalb_scan = _to_scan(dm.ssalb)             # [L, Bc]
+            gl_scan = _to_scan(dm.gl, 2)                # [L, 4, Bc]
+            kk, gp, gm, zp, zm = eig_beam_scatter_n2_layered(
+                ssalb_scan, gl_scan, scale[None, :], mu0_row, tab,
+                interpret=interpret,
+            )                                           # [L, *, Bc]
+            ee = jnp.exp(-kk * dtau_scan[:, None, :])   # [L, N, Bc]
+            bypass_generic = True
+
+    if not bypass_generic:
         twol1 = jnp.asarray(tab.twol1, dtype)
         c = 0.5 * dm.ssalb[..., None] * twol1 * dm.gl   # [.., L, nstr]
         c_scan = _to_scan(c, 2)                         # [L, nstr, Bc]
@@ -137,12 +185,9 @@ def solve_rte_flux_lane(
         kk, gp, gm, zp, zm = eig_beam_chain_lane_fused_layered(
             cppl, cpml, r1, r2, mu0_row, tab.mu, tab.w, interpret=interpret
         )                                               # [L, *, Bc]
-
-    dtau_scan = _to_scan(dm.dtau)                       # [L, Bc]
-    ee = jnp.exp(-kk * dtau_scan[:, None, :])           # [L, N, Bc]
+        ee = jnp.exp(-kk * dtau_scan[:, None, :])       # [L, N, Bc]
 
     # ---- particular solution at layer bounds -----------------------------
-    eb = _to_scan(expbea_s)                             # [L+1, Bc]
     p_tu = zp * eb[:-1, None, :]
     p_td = zm * eb[:-1, None, :]
     p_bu = zp * eb[1:, None, :]
@@ -198,13 +243,16 @@ def solve_rte_flux_lane(
         )
 
     # ---- surface operators (Lambertian) ----------------------------------
-    beam_flux_surf = mu0 * jnp.where(has_beam, fbeam, 0.0) * expbea_s[..., -1]
+    beam_flux_flat = (
+        mu0.reshape(-1) * jnp.where(has_beam, fbeam, 0.0).reshape(-1)
+        * eb[-1]
+    )                                                   # [Bc]
     refl_op = (
         2.0 * alb_flat[None, None, :]
         * wmu[None, :, None] * jnp.ones((n, 1, 1), dtype)
     )                                                   # [N, N, Bc]
     bref = jnp.broadcast_to(
-        ((albedo / jnp.pi) * beam_flux_surf).reshape(-1)[None, :],
+        ((alb_flat / jnp.pi) * beam_flux_flat)[None, :],
         (n, bc),
     ).astype(dtype)
     iso = (
@@ -245,7 +293,6 @@ def solve_rte_flux_lane(
     fup = 2.0 * jnp.pi * jnp.einsum("j,vjB->vB", wmu, up)
     fdn_diff = 2.0 * jnp.pi * jnp.einsum("j,vjB->vB", wmu, dn)
 
-    eb_u = _to_scan(expbea_u)                           # [L+1, Bc]
     beam_f = jnp.where(has_beam, fbeam, 0.0).reshape(-1)[None, :]
     mu0_b = jnp.abs(umu0).reshape(-1)[None, :]
     fdir_scaled = mu0_b * beam_f * eb
