@@ -385,6 +385,13 @@ def _measured_rooflines() -> dict | None:
             "bvp_kernel_bw_sol_pct": round(
                 100.0 * (b_by / (b_ms / 1e3) / 1e9) / peak, 1),
         }
+        if out["nstr4_path"]["eig_kernel_bw_sol_pct"] > 100.0:
+            out["nstr4_path"]["sol_note"] = (
+                "bw > 100% of peak is a measurement artifact: the planar "
+                "kernel's ~0.06 ms device duration sits at the trace's "
+                "resolution floor, so interface-bytes/time overshoots — "
+                "read as 'bandwidth-bound'"
+            )
 
     # --- nstr=16 radiance shape (BASELINE config 4, modes in lanes) -------
     dtau, ssalb, pmom, nbc = flux_args(16, 65, 256)
